@@ -1,0 +1,166 @@
+"""Procedural synthetic fruit scenes for tests, smoke training, and benches.
+
+The reference validates on rendered synthetic trees with known fruit counts
+(clustering/config_synthetic.py). This module generates a miniature analog
+fully in-process: fruit spheres scattered in a canopy volume, analytically
+ray-traced into RGB images + binary fruit masks from cameras on a hemisphere
+— no assets, no git-lfs templates, deterministic from a seed.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticSceneConfig:
+    num_fruits: int = 6
+    fruit_radius: float = 0.08
+    canopy_radius: float = 0.45  # fruits scattered inside this sphere
+    num_cameras: int = 20
+    image_size: int = 64
+    camera_distance: float = 2.2
+    fov_deg: float = 55.0
+    seed: int = 0
+    background: tuple = (1.0, 1.0, 1.0)
+    fruit_color: tuple = (0.85, 0.15, 0.1)
+    canopy_color: tuple = (0.15, 0.45, 0.12)
+    num_leaves: int = 30
+    leaf_radius: float = 0.06
+
+
+def fruit_centers(config: SyntheticSceneConfig) -> np.ndarray:
+    """[K, 3] fruit centers, min-separation enforced (rejection sampling)."""
+    rng = np.random.RandomState(config.seed)
+    centers = []
+    min_sep = 2.6 * config.fruit_radius
+    while len(centers) < config.num_fruits:
+        c = rng.uniform(-config.canopy_radius, config.canopy_radius, 3)
+        if np.linalg.norm(c) > config.canopy_radius:
+            continue
+        if centers and np.min(
+            np.linalg.norm(np.array(centers) - c, axis=-1)
+        ) < min_sep:
+            continue
+        centers.append(c)
+    return np.array(centers, np.float32)
+
+
+def leaf_centers(config: SyntheticSceneConfig) -> np.ndarray:
+    rng = np.random.RandomState(config.seed + 1)
+    pts = rng.uniform(-config.canopy_radius, config.canopy_radius, (config.num_leaves * 3, 3))
+    pts = pts[np.linalg.norm(pts, axis=-1) < config.canopy_radius][: config.num_leaves]
+    return pts.astype(np.float32)
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """OpenGL-convention camera-to-world [3,4] (camera -z looks at target)."""
+    forward = target - eye
+    forward = forward / np.linalg.norm(forward)
+    right = np.cross(forward, np.asarray(up, np.float64))
+    right = right / np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.stack([right, true_up, -forward], axis=-1)  # columns: x, y, z(back)
+    return np.concatenate([c2w, eye[:, None]], axis=-1).astype(np.float32)
+
+
+def hemisphere_poses(config: SyntheticSceneConfig) -> np.ndarray:
+    """[N, 3, 4] cameras on an upper hemisphere looking at the origin."""
+    n = config.num_cameras
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    poses = []
+    for i in range(n):
+        elev = 0.25 + 0.55 * (i / max(n - 1, 1))  # elevation fraction
+        az = golden * i
+        eye = config.camera_distance * np.array(
+            [np.cos(az) * np.cos(elev), np.sin(az) * np.cos(elev), np.sin(elev)]
+        )
+        poses.append(look_at_pose(eye, np.zeros(3)))
+    return np.stack(poses)
+
+
+def _ray_sphere_hits(origins, dirs, centers, radii):
+    """Nearest-hit t per ray over a set of spheres.
+
+    origins [R,3], dirs [R,3] unit, centers [K,3], radii [K]
+    -> (t [R], idx [R]) with t=inf where no hit.
+    """
+    oc = origins[:, None, :] - centers[None, :, :]  # [R,K,3]
+    b = np.einsum("rkj,rj->rk", oc, dirs)
+    c = np.einsum("rkj,rkj->rk", oc, oc) - radii[None, :] ** 2
+    disc = b * b - c
+    hit = disc >= 0
+    sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+    t = -b - sqrt_disc
+    t = np.where(hit & (t > 1e-4), t, np.inf)
+    idx = np.argmin(t, axis=-1)
+    tmin = t[np.arange(t.shape[0]), idx]
+    return tmin, idx
+
+
+def render_scene(config: SyntheticSceneConfig):
+    """Render all cameras analytically.
+
+    Returns dict with images [N,H,W,3] float32, masks [N,H,W] float32 {0,1},
+    poses [N,3,4], intrinsics (fx, fy, cx, cy), fruit centers [K,3].
+    """
+    h = w = config.image_size
+    f = (w / 2.0) / np.tan(np.deg2rad(config.fov_deg) / 2.0)
+    cx, cy = w / 2.0, h / 2.0
+    poses = hemisphere_poses(config)
+    fruits = fruit_centers(config)
+    leaves = leaf_centers(config)
+    centers = np.concatenate([fruits, leaves], axis=0)
+    radii = np.concatenate(
+        [
+            np.full(len(fruits), config.fruit_radius),
+            np.full(len(leaves), config.leaf_radius),
+        ]
+    ).astype(np.float32)
+    colors = np.concatenate(
+        [
+            np.tile(np.array(config.fruit_color, np.float32), (len(fruits), 1)),
+            np.tile(np.array(config.canopy_color, np.float32), (len(leaves), 1)),
+        ]
+    )
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = (xs.ravel() + 0.5 - cx) / f
+    py = -(ys.ravel() + 0.5 - cy) / f
+    dirs_cam = np.stack([px, py, -np.ones_like(px)], axis=-1)
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
+
+    images, masks = [], []
+    for pose in poses:
+        rot, eye = pose[:3, :3], pose[:3, 3]
+        dirs = dirs_cam @ rot.T
+        origins = np.broadcast_to(eye, dirs.shape)
+        t, idx = _ray_sphere_hits(origins, dirs, centers, radii)
+        hit = np.isfinite(t)
+        img = np.tile(np.array(config.background, np.float32), (h * w, 1))
+        # simple lambertian shading from a fixed light
+        light = np.array([0.5, 0.3, 0.8])
+        light = light / np.linalg.norm(light)
+        pts = origins + dirs * np.where(hit, t, 0.0)[:, None]
+        normals = pts - centers[idx]
+        normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+        shade = 0.35 + 0.65 * np.maximum(normals @ light, 0.0)
+        img[hit] = colors[idx[hit]] * shade[hit, None]
+        mask = (hit & (idx < len(fruits))).astype(np.float32)
+        images.append(img.reshape(h, w, 3))
+        masks.append(mask.reshape(h, w))
+
+    return {
+        "images": np.stack(images),
+        "masks": np.stack(masks),
+        "poses": poses,
+        "fx": f,
+        "fy": f,
+        "cx": cx,
+        "cy": cy,
+        "width": w,
+        "height": h,
+        "fruit_centers": fruits,
+        "fruit_radius": config.fruit_radius,
+    }
