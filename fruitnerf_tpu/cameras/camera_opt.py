@@ -18,23 +18,28 @@ def init_camera_opt(num_cameras: int) -> jnp.ndarray:
 
 
 def exp_map_so3xr3(tangent: jnp.ndarray) -> jnp.ndarray:
-    """[N, 6] -> [N, 3, 4] pose adjustments (R | t)."""
+    """[N, 6] -> [N, 3, 4] pose adjustments (R | t).
+
+    Rodrigues on the UNnormalized axis with Taylor fallbacks near zero:
+    R = I + A*[w]x + B*[w]x^2, A = sin(th)/th, B = (1-cos th)/th^2. The
+    double-`where` keeps gradients NaN-free at the zero init (camera-opt
+    params start at exactly zero every run).
+    """
     omega = tangent[..., :3]
     t = tangent[..., 3:]
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    axis = omega / theta
-    k = _skew(axis)
-    theta_ = theta[..., None]
+    theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = theta_sq < 1e-10
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
+    k = _skew(omega)
     eye = jnp.broadcast_to(jnp.eye(3), k.shape)
     rot = (
         eye
-        + jnp.sin(theta_) * k
-        + (1.0 - jnp.cos(theta_)) * jnp.einsum("...ij,...jk->...ik", k, k)
+        + a[..., None] * k
+        + b[..., None] * jnp.einsum("...ij,...jk->...ik", k, k)
     )
-    # exactly identity at zero tangent (avoids NaN from axis normalization)
-    small = (theta_ < 1e-8)
-    rot = jnp.where(small, eye, rot)
     return jnp.concatenate([rot, t[..., :, None]], axis=-1)
 
 

@@ -1,0 +1,220 @@
+"""Named training presets mirroring the reference's three method configs
+(fruit_nerf/fruit_nerf_config.py): ``fruit_nerf`` (:27), ``fruit_nerf_big``
+(:63), ``fruit_nerf_huge`` (:113), plus a tiny ``fruit_nerf_smoke`` preset for
+CPU tests and the end-to-end smoke slice (BASELINE.json config 1).
+
+TPU adaptations: mixed_precision (CUDA GradScaler) becomes bf16 compute
+dtype with f32 params/density — no loss scaling needed on TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .fields.density_field import DensityFieldConfig
+from .fields.encodings import HashEncodingConfig
+from .fields.fruit_field import FruitFieldConfig
+from .models.fruit_model import FruitModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Per-param-group optimizer (fruit_nerf_config.py:47-56)."""
+
+    name: str = "adam"  # adam | radam
+    lr_init: float = 1e-2
+    lr_final: float = 1e-4
+    eps: float = 1e-15
+    max_steps: int | None = None  # None -> train max_iters
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    preset: str
+    model: FruitModelConfig
+    max_iters: int = 30000
+    train_rays_per_batch: int = 4096
+    eval_rays_per_chunk: int = 1 << 15  # fruit_nerf_config.py:45
+    steps_per_save: int = 2000  # fruit_nerf_config.py:31
+    steps_per_eval: int = 500  # fruit_nerf_config.py:30
+    steps_per_log: int = 100
+    fields_opt: OptimizerConfig = OptimizerConfig()
+    proposal_opt: OptimizerConfig = OptimizerConfig()
+    camera_opt: OptimizerConfig = OptimizerConfig(lr_init=6e-4, lr_final=6e-5)
+    use_camera_opt: bool = True
+    train_split_fraction: float = 0.9
+    # big preset subsamples to 200 images repeated (fruit_nerf_config.py:63-111)
+    max_train_images: int | None = None
+    seed: int = 42
+
+
+def _field(num_images: int, **kw) -> FruitFieldConfig:
+    return FruitFieldConfig(num_images=num_images, **kw)
+
+
+def fruit_nerf(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
+    """Base preset (fruit_nerf_config.py:28-58): 30k iters, 4096 rays/batch."""
+    field = _field(
+        num_images,
+        hash=HashEncodingConfig(
+            num_levels=16, log2_hashmap_size=19, base_res=16, max_res=2048
+        ),
+        hidden_dim=64,
+        geo_feat_dim=15,
+        hidden_dim_color=64,
+        hidden_dim_semantic=64,
+        appearance_embed_dim=32,
+        compute_dtype=compute_dtype,
+    )
+    return TrainConfig(
+        preset="fruit_nerf",
+        model=FruitModelConfig(field=field),
+        max_iters=30000,
+        train_rays_per_batch=4096,
+    )
+
+
+def fruit_nerf_big(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
+    """Big preset (fruit_nerf_config.py:63-111): 100k iters, 8192 rays, 128
+    nerf samples, proposal (512,256), hidden 128, geo_feat 30, semantic 3x128,
+    appearance 128, max_res 4096, 2^21 table, anneal 5000, RAdam, split .99."""
+    field = _field(
+        num_images,
+        hash=HashEncodingConfig(
+            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=4096
+        ),
+        hidden_dim=128,
+        geo_feat_dim=30,
+        hidden_dim_color=128,
+        num_layers_semantic=3,
+        hidden_dim_semantic=128,
+        appearance_embed_dim=128,
+        compute_dtype=compute_dtype,
+    )
+    model = FruitModelConfig(
+        field=field,
+        num_nerf_samples=128,
+        num_proposal_samples=(512, 256),
+        proposal_weights_anneal_max_num_iters=5000,
+    )
+    radam = OptimizerConfig(name="radam")
+    return TrainConfig(
+        preset="fruit_nerf_big",
+        model=model,
+        max_iters=100000,
+        train_rays_per_batch=8192,
+        fields_opt=radam,
+        proposal_opt=radam,
+        train_split_fraction=0.99,
+        max_train_images=200,
+    )
+
+
+def fruit_nerf_huge(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
+    """Huge preset (fruit_nerf_config.py:113-164): 16384 rays, 64 nerf samples,
+    proposal (512,512) with beefier 2-level proposal nets, hidden 256,
+    max_res 8192."""
+    field = _field(
+        num_images,
+        hash=HashEncodingConfig(
+            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=8192
+        ),
+        hidden_dim=256,
+        geo_feat_dim=30,
+        hidden_dim_color=256,
+        num_layers_semantic=3,
+        hidden_dim_semantic=128,
+        appearance_embed_dim=128,
+        compute_dtype=compute_dtype,
+    )
+    model = FruitModelConfig(
+        field=field,
+        num_nerf_samples=64,
+        num_proposal_samples=(512, 512),
+        proposal_nets=(
+            DensityFieldConfig(
+                hash=HashEncodingConfig(
+                    num_levels=7, log2_hashmap_size=18, base_res=16, max_res=256
+                )
+            ),
+            DensityFieldConfig(
+                hash=HashEncodingConfig(
+                    num_levels=7, log2_hashmap_size=18, base_res=16, max_res=512
+                )
+            ),
+        ),
+        proposal_weights_anneal_max_num_iters=5000,
+    )
+    radam = OptimizerConfig(name="radam")
+    return TrainConfig(
+        preset="fruit_nerf_huge",
+        model=model,
+        max_iters=100000,
+        train_rays_per_batch=16384,
+        fields_opt=radam,
+        proposal_opt=radam,
+        train_split_fraction=0.99,
+        max_train_images=200,
+    )
+
+
+def fruit_nerf_smoke(num_images: int, compute_dtype=jnp.float32) -> TrainConfig:
+    """Tiny preset for CPU smoke tests: small hash tables, few samples."""
+    field = _field(
+        num_images,
+        hash=HashEncodingConfig(
+            num_levels=8, log2_hashmap_size=13, base_res=4, max_res=128
+        ),
+        hidden_dim=32,
+        geo_feat_dim=15,
+        hidden_dim_color=32,
+        hidden_dim_semantic=32,
+        appearance_embed_dim=8,
+        compute_dtype=compute_dtype,
+    )
+    model = FruitModelConfig(
+        field=field,
+        num_nerf_samples=24,
+        num_proposal_samples=(48, 32),
+        proposal_nets=(
+            DensityFieldConfig(
+                hash=HashEncodingConfig(
+                    num_levels=4, log2_hashmap_size=11, base_res=4, max_res=64
+                )
+            ),
+            DensityFieldConfig(
+                hash=HashEncodingConfig(
+                    num_levels=4, log2_hashmap_size=11, base_res=4, max_res=128
+                )
+            ),
+        ),
+        near_plane=0.05,
+        far_plane=6.0,
+        background_color="white",
+        proposal_weights_anneal_max_num_iters=200,
+        proposal_warmup=200,
+    )
+    return TrainConfig(
+        preset="fruit_nerf_smoke",
+        model=model,
+        max_iters=500,
+        train_rays_per_batch=1024,
+        eval_rays_per_chunk=2048,
+        steps_per_save=250,
+        steps_per_eval=250,
+    )
+
+
+PRESETS = {
+    "fruit_nerf": fruit_nerf,
+    "fruit_nerf_big": fruit_nerf_big,
+    "fruit_nerf_huge": fruit_nerf_huge,
+    "fruit_nerf_smoke": fruit_nerf_smoke,
+}
+
+
+def get_preset(name: str, num_images: int, **kw) -> TrainConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
+    return PRESETS[name](num_images, **kw)

@@ -1,0 +1,337 @@
+"""Training engine: device-resident data, a single fused jit train step, and
+the outer loop with eval/checkpoint hooks.
+
+Replaces the nerfstudio Trainer + FruitPipeline + FruitDataManager composition
+the reference rides on (fruit_pipeline.py:121-146; fruit_datamanager.py:
+188-215) with a TPU-first design:
+
+  * the ENTIRE step — pixel sampling, ray generation (incl. camera-opt
+    adjustment), proposal sampling, field, losses, backward, optimizer —
+    is one jit. The image/mask stacks live in HBM as uint8; there is no
+    host<->device dataloader boundary at all (the reference crosses it every
+    step, SURVEY.md §3.1).
+  * data parallelism is a sharding annotation: the sampled ray batch is
+    constrained to the ``data`` mesh axis, parameters stay replicated, and
+    XLA inserts the gradient psum (the reference's DDP/NCCL allreduce,
+    fruit_pipeline.py:115-118).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..cameras.camera_opt import exp_map_so3xr3, init_camera_opt
+from ..cameras.cameras import Cameras, generate_image_rays, generate_rays
+from ..configs import OptimizerConfig, TrainConfig
+from ..models.fruit_model import (
+    forward_train,
+    init_fruit_model,
+    loss_dict,
+    metrics_dict,
+)
+from ..parallel.mesh import DATA_AXIS
+
+
+@flax.struct.dataclass
+class DeviceDataset:
+    """Whole training set resident on device. uint8 keeps HBM small; pixels
+    are converted to f32 after the gather."""
+
+    images: jnp.ndarray  # [N, H, W, 3] uint8
+    masks: jnp.ndarray  # [N, H, W] uint8 (0/1)
+    cameras: Cameras
+    train_indices: jnp.ndarray  # [T] int32
+
+    @property
+    def image_shape(self):
+        return self.images.shape[1], self.images.shape[2]
+
+
+def build_device_dataset(
+    images: np.ndarray,  # [N,H,W,3] float (0..1) or uint8
+    masks: np.ndarray,  # [N,H,W] float (0/1) or uint8
+    cameras: Cameras,
+    train_indices: np.ndarray,
+) -> DeviceDataset:
+    if images.dtype != np.uint8:
+        images = (np.clip(images, 0, 1) * 255).astype(np.uint8)
+    if masks.dtype != np.uint8:
+        masks = (masks > 0.5).astype(np.uint8)
+    return DeviceDataset(
+        images=jnp.asarray(images),
+        masks=jnp.asarray(masks),
+        cameras=cameras,
+        train_indices=jnp.asarray(train_indices, jnp.int32),
+    )
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any  # {"model": {...}, "camera_opt": [N,6]}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# optimizers: per-group Adam/RAdam with exponential decay
+# (fruit_nerf_config.py:47-56: Adam lr 1e-2 eps 1e-15 -> 1e-4; camera 6e-4)
+# ---------------------------------------------------------------------------
+
+
+def _make_group_tx(opt: OptimizerConfig, max_steps: int) -> optax.GradientTransformation:
+    steps = opt.max_steps or max_steps
+    schedule = optax.exponential_decay(
+        init_value=opt.lr_init,
+        transition_steps=steps,
+        decay_rate=opt.lr_final / opt.lr_init,
+    )
+    if opt.name == "adam":
+        return optax.adam(schedule, eps=opt.eps)
+    if opt.name == "radam":
+        return optax.radam(schedule, eps=opt.eps)
+    raise ValueError(f"unknown optimizer {opt.name!r}")
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    def label_fn(params):
+        return {
+            "model": {
+                "field": jax.tree.map(lambda _: "fields", params["model"]["field"]),
+                "proposal_networks": jax.tree.map(
+                    lambda _: "proposal_networks",
+                    params["model"]["proposal_networks"],
+                ),
+            },
+            "camera_opt": jax.tree.map(
+                lambda _: "camera_opt", params["camera_opt"]
+            ),
+        }
+
+    return optax.multi_transform(
+        {
+            "fields": _make_group_tx(config.fields_opt, config.max_iters),
+            "proposal_networks": _make_group_tx(config.proposal_opt, config.max_iters),
+            "camera_opt": _make_group_tx(config.camera_opt, config.max_iters),
+        },
+        label_fn,
+    )
+
+
+def init_train_state(key: jax.Array, config: TrainConfig, num_cameras: int) -> TrainState:
+    params = {
+        "model": init_fruit_model(key, config.model),
+        "camera_opt": init_camera_opt(num_cameras),
+    }
+    tx = make_optimizer(config)
+    return TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the fused train step
+# ---------------------------------------------------------------------------
+
+
+def _shard_rays(x, mesh):
+    if mesh is None or mesh.devices.size == 1:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def make_train_step(config: TrainConfig, mesh=None):
+    """Returns jit'd (state, dataset, key) -> (state, metrics)."""
+    tx = make_optimizer(config)
+    num_rays = config.train_rays_per_batch
+
+    def step_fn(state: TrainState, data: DeviceDataset, key: jax.Array):
+        h, w = data.images.shape[1], data.images.shape[2]
+        k_img, k_y, k_x, k_samp = jax.random.split(
+            jax.random.fold_in(key, state.step), 4
+        )
+        # pixel sampler (the reference's PixelSampler over the image batch)
+        slot = jax.random.randint(k_img, (num_rays,), 0, data.train_indices.shape[0])
+        cam = data.train_indices[slot]
+        py = jax.random.randint(k_y, (num_rays,), 0, h)
+        px = jax.random.randint(k_x, (num_rays,), 0, w)
+        cam = _shard_rays(cam, mesh)
+        py = _shard_rays(py, mesh)
+        px = _shard_rays(px, mesh)
+
+        rgb_gt = data.images[cam, py, px].astype(jnp.float32) / 255.0
+        mask_gt = data.masks[cam, py, px].astype(jnp.float32)
+
+        def loss_fn(params):
+            adj = exp_map_so3xr3(params["camera_opt"]) if config.use_camera_opt else None
+            bundle = generate_rays(data.cameras, cam, py, px, pose_adjustment=adj)
+            outputs = forward_train(
+                params["model"], bundle, config.model, k_samp, state.step, train=True
+            )
+            losses = loss_dict(outputs, rgb_gt, mask_gt, config.model)
+            total = sum(losses.values())
+            metrics = metrics_dict(outputs, rgb_gt)
+            return total, (losses, metrics)
+
+        (total, (losses, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = dict(metrics)
+        metrics.update(losses)
+        metrics["total_loss"] = total
+        if config.use_camera_opt:
+            t = params["camera_opt"]
+            metrics["camera_opt_translation"] = jnp.linalg.norm(t[..., 3:])
+            metrics["camera_opt_rotation"] = jnp.linalg.norm(t[..., :3])
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# full-image eval rendering (chunked inside one jit; the reference loops
+# 1<<15-ray chunks in Python, fruit_nerf.py:225-249)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config", "height", "width"))
+def _render_rays_chunked(params, bundle_flat, config, height, width):
+    chunk = config.eval_rays_per_chunk
+    n = height * width
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    def pad(x):
+        pad_width = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width)
+
+    padded = jax.tree.map(pad, bundle_flat)
+    reshaped = jax.tree.map(
+        lambda x: x.reshape(n_pad // chunk, chunk, *x.shape[1:]), padded
+    )
+
+    def chunk_fn(b):
+        out = forward_train(
+            params["model"], b, config.model, key=None,
+            step=jnp.asarray(1 << 30), train=False,
+        )
+        return {
+            "rgb": out["rgb"],
+            "depth": out["depth"],
+            "accumulation": out["accumulation"],
+            "semantics": out["semantics"],
+            "semantics_colormap": out["semantics_colormap"],
+        }
+
+    outs = jax.lax.map(chunk_fn, reshaped)
+    return jax.tree.map(
+        lambda x: x.reshape(n_pad, *x.shape[2:])[:n].reshape(
+            height, width, *x.shape[2:]
+        ),
+        outs,
+    )
+
+
+def render_camera(
+    params, cameras: Cameras, camera_index: int, config: TrainConfig
+) -> dict[str, jnp.ndarray]:
+    """Render every output panel for one camera ([H,W,...] arrays)."""
+    h = int(cameras.height[camera_index])
+    w = int(cameras.width[camera_index])
+    bundle = generate_image_rays(cameras, camera_index, h, w)
+    return _render_rays_chunked(params, bundle, config, h, w)
+
+
+# ---------------------------------------------------------------------------
+# outer loop
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EvalResult:
+    psnr: float
+    ssim: float
+    iou: float
+    num_rays_per_sec: float
+    fps: float
+
+
+def evaluate_image(
+    params,
+    data: DeviceDataset,
+    camera_index: int,
+    config: TrainConfig,
+) -> tuple[dict, dict]:
+    """Renders one eval camera and computes PSNR/SSIM/IoU + throughput
+    (fruit_pipeline.py:157-227 emits num_rays_per_sec and fps)."""
+    import time
+
+    from ..utils import metrics as M
+
+    t0 = time.perf_counter()
+    out = render_camera(params, data.cameras, camera_index, config)
+    jax.block_until_ready(out["rgb"])
+    dt = time.perf_counter() - t0
+    h, w = out["rgb"].shape[:2]
+    gt = data.images[camera_index].astype(jnp.float32) / 255.0
+    mask = data.masks[camera_index].astype(jnp.float32)
+    sem_logits = out["semantics"][..., 0]
+    stats = {
+        "psnr": float(M.psnr(out["rgb"], gt)),
+        "ssim": float(M.ssim(out["rgb"], gt)),
+        "iou": float(M.binary_iou(sem_logits, mask)),
+        "iou_reference_quirk": float(M.binary_iou_reference_quirk(sem_logits, mask)),
+        "num_rays_per_sec": h * w / dt,
+        "fps": 1.0 / dt,
+    }
+    return stats, out
+
+
+def train_loop(
+    config: TrainConfig,
+    data: DeviceDataset,
+    eval_indices: np.ndarray | None = None,
+    state: TrainState | None = None,
+    key: jax.Array | None = None,
+    mesh=None,
+    writer=None,
+    checkpoint_dir=None,
+    callbacks=(),
+) -> TrainState:
+    """Python outer loop; all compute stays on device inside step_fn."""
+    from .checkpoints import save_checkpoint
+
+    key = key if key is not None else jax.random.PRNGKey(config.seed)
+    if state is None:
+        state = init_train_state(key, config, data.cameras.num_cameras)
+    step_fn = make_train_step(config, mesh)
+
+    start = int(state.step)
+    for it in range(start, config.max_iters):
+        state, metrics = step_fn(state, data, key)
+        if writer is not None and (it + 1) % config.steps_per_log == 0:
+            writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
+        if (it + 1) % config.steps_per_eval == 0 and eval_indices is not None and len(eval_indices):
+            stats, _ = evaluate_image(
+                state.params, data, int(eval_indices[0]), config
+            )
+            if writer is not None:
+                writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
+        if checkpoint_dir is not None and (it + 1) % config.steps_per_save == 0:
+            save_checkpoint(checkpoint_dir, state)
+        for cb in callbacks:
+            cb(int(state.step), state, metrics)
+    return state

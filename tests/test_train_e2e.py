@@ -1,0 +1,166 @@
+"""End-to-end smoke: train the hash-grid FruitModel on a synthetic fruit
+scene (the build plan's 'minimum end-to-end slice', SURVEY.md §7.2), verify
+losses fall, rendering works, and checkpoints roundtrip."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fruitnerf_tpu.configs import fruit_nerf_smoke
+from fruitnerf_tpu.data.builder import dataset_from_scene
+from fruitnerf_tpu.data.synthetic import SyntheticSceneConfig, render_scene
+from fruitnerf_tpu.engine.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    read_manifest,
+    resume_from_latest,
+    save_checkpoint,
+    write_manifest,
+)
+from fruitnerf_tpu.engine.trainer import (
+    evaluate_image,
+    init_train_state,
+    make_train_step,
+    render_camera,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return render_scene(
+        SyntheticSceneConfig(num_fruits=5, fruit_radius=0.13, num_cameras=12, image_size=48, num_leaves=8)
+    )
+
+
+@pytest.fixture(scope="module")
+def data(scene):
+    return dataset_from_scene(scene)
+
+
+@pytest.fixture(scope="module")
+def config(data):
+    cfg = fruit_nerf_smoke(num_images=data.cameras.num_cameras)
+    return dataclasses.replace(cfg, train_rays_per_batch=512)
+
+
+@pytest.fixture(scope="module")
+def trained(config, data):
+    state = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
+    step_fn = make_train_step(config)
+    key = jax.random.PRNGKey(1)
+    first_metrics = None
+    for i in range(250):
+        state, metrics = step_fn(state, data, key)
+        if first_metrics is None:
+            first_metrics = jax.tree.map(float, metrics)
+    return state, jax.tree.map(float, metrics), first_metrics
+
+
+def test_losses_decrease(trained):
+    _, last, first = trained
+    assert last["rgb_loss"] < first["rgb_loss"] * 0.8
+    assert last["semantics_loss"] < first["semantics_loss"]
+    assert np.isfinite(last["total_loss"])
+    assert last["psnr"] > first["psnr"]
+
+
+def test_render_camera_outputs(trained, config, data):
+    state, _, _ = trained
+    out = render_camera(state.params, data.cameras, 0, config)
+    h, w = data.image_shape
+    assert out["rgb"].shape == (h, w, 3)
+    assert out["depth"].shape == (h, w)
+    assert out["semantics_colormap"].shape == (h, w, 1)
+    rgb = np.asarray(out["rgb"])
+    assert np.isfinite(rgb).all() and rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_eval_metrics_reasonable(trained, config, data):
+    state, _, _ = trained
+    stats, _ = evaluate_image(state.params, data, 0, config)
+    # 120 tiny steps won't be pretty, but must beat a constant image
+    assert stats["psnr"] > 10.0
+    assert 0.0 <= stats["iou"] <= 1.0
+    assert stats["num_rays_per_sec"] > 0
+    # the reference-quirk IoU equals fruit-pixel fraction vs all-ones
+    assert 0.0 <= stats["iou_reference_quirk"] <= 1.0
+
+
+def test_semantics_learned_fruit_vs_background(trained, config, data, scene):
+    state, _, _ = trained
+    out = render_camera(state.params, data.cameras, 0, config)
+    sem = np.asarray(jax.nn.sigmoid(out["semantics"][..., 0]))
+    mask = np.asarray(data.masks[0]).astype(bool)
+    if mask.sum() > 4:
+        # fruit pixels should score higher than background on average
+        assert sem[mask].mean() > sem[~mask].mean() + 0.02
+
+
+def test_checkpoint_roundtrip(trained, config, data, tmp_path):
+    state, _, _ = trained
+    path = save_checkpoint(tmp_path, state)
+    assert latest_checkpoint(tmp_path) == path
+    template = init_train_state(jax.random.PRNGKey(9), config, data.cameras.num_cameras)
+    restored = load_checkpoint(path, template)
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["model"]["field"]["hash_table"]),
+        np.asarray(state.params["model"]["field"]["hash_table"]),
+    )
+    # restored state continues training identically
+    step_fn = make_train_step(config)
+    s1, m1 = step_fn(state, data, jax.random.PRNGKey(7))
+    s2, m2 = step_fn(restored, data, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+    )
+
+
+def test_resume_from_latest_empty_dir(tmp_path, config, data):
+    template = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
+    state, resumed = resume_from_latest(tmp_path, template)
+    assert not resumed
+
+
+def test_manifest_roundtrip(tmp_path):
+    write_manifest(
+        tmp_path,
+        preset="fruit_nerf_smoke",
+        dataparser_transform=np.eye(4)[:3],
+        dataparser_scale=0.5,
+        scene_aabb=np.array([[-1.0] * 3, [1.0] * 3]),
+        num_images=12,
+    )
+    m = read_manifest(tmp_path)
+    assert m["dataparser_scale"] == 0.5
+    assert m["preset"] == "fruit_nerf_smoke"
+    assert np.asarray(m["dataparser_transform"]).shape == (3, 4)
+
+
+def test_determinism_same_seed_same_loss(config, data):
+    """SURVEY.md §5: add a determinism check (same seed -> same trajectory)."""
+    def run():
+        state = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
+        step_fn = make_train_step(config)
+        for _ in range(3):
+            state, metrics = step_fn(state, data, jax.random.PRNGKey(1))
+        return float(metrics["total_loss"])
+
+    assert run() == run()
+
+
+def test_train_step_multidevice_mesh(config, data):
+    """DP sharding: the train step runs under an 8-device mesh with the ray
+    batch sharded over the data axis."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from fruitnerf_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    state = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
+    step_fn = make_train_step(config, mesh=mesh)
+    state2, metrics = step_fn(state, data, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state2.step) == 1
