@@ -33,23 +33,29 @@ def main():
     config = fruit_nerf(num_images=data.cameras.num_cameras)
     config = dataclasses.replace(config, train_rays_per_batch=4096)
 
-    key = jax.random.PRNGKey(0)
-    state = init_train_state(key, config, data.cameras.num_cameras)
+    key = jax.random.key(0, impl="rbg")
+    state = init_train_state(
+        jax.random.PRNGKey(0), config, data.cameras.num_cameras
+    )
     step_fn = make_train_step(config)
 
-    # warmup + compile
-    for _ in range(3):
-        state, metrics = step_fn(state, data, key)
-    jax.block_until_ready(metrics["total_loss"])
+    # warmup + compile; force full materialization via a param value fetch
+    # (block_until_ready alone under-reports through the remote TPU runtime)
+    def run(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state, data, key)
+        float(jax.tree.leaves(state.params)[0].ravel()[0])
+        return time.perf_counter() - t0
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, data, key)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+    run(3)
+    # differential timing removes the fixed host-sync overhead
+    t_small = run(10)
+    t_large = run(60)
+    dt = max((t_large - t_small) / 50, 1e-9)
 
-    rays_per_sec = iters * config.train_rays_per_batch / dt
+    rays_per_sec = config.train_rays_per_batch / dt
     print(
         json.dumps(
             {

@@ -1,0 +1,41 @@
+"""Unified CLI dispatcher: python -m fruitnerf_tpu <command> ...
+
+Commands mirror the reference's console scripts (pyproject.toml:24-32):
+  train         ns-train fruit_nerf / _big / _huge
+  export        ns-export-semantics semantic-pointcloud
+  count         clustering/run_clustering.py (+ --sweep)
+  process-data  ns-process-fruit-data fruit (mask ingestion)
+  render        offline eval-camera render (debug/render.py analog)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .scripts import count as count_cmd
+from .scripts import export as export_cmd
+from .scripts import process_data as process_cmd
+from .scripts import render as render_cmd
+from .scripts import train as train_cmd
+
+COMMANDS = {
+    "train": train_cmd,
+    "export": export_cmd,
+    "count": count_cmd,
+    "process-data": process_cmd,
+    "render": render_cmd,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="fruitnerf_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name, mod in COMMANDS.items():
+        p = sub.add_parser(name, help=(mod.__doc__ or "").strip().splitlines()[0])
+        mod.add_args(p)
+    args = parser.parse_args(argv)
+    COMMANDS[args.command].main(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

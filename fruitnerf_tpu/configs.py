@@ -14,8 +14,17 @@ import jax.numpy as jnp
 
 from .fields.density_field import DensityFieldConfig
 from .fields.encodings import HashEncodingConfig
+from .fields.freq_density_field import FreqDensityFieldConfig
 from .fields.fruit_field import FruitFieldConfig
 from .models.fruit_model import FruitModelConfig
+
+# TPU-fast proposal stack: frequency-MLP density fields (MXU-native, zero
+# hash gathers) replacing the reference's two HashMLPDensityFields; see
+# fields/freq_density_field.py for the rationale.
+TPU_PROPOSAL_NETS = (
+    FreqDensityFieldConfig(num_frequencies=5, num_layers=2, hidden_dim=32),
+    FreqDensityFieldConfig(num_frequencies=7, num_layers=3, hidden_dim=64),
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,13 +62,23 @@ def _field(num_images: int, **kw) -> FruitFieldConfig:
     return FruitFieldConfig(num_images=num_images, **kw)
 
 
-def fruit_nerf(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
-    """Base preset (fruit_nerf_config.py:28-58): 30k iters, 4096 rays/batch."""
+def fruit_nerf(
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+) -> TrainConfig:
+    """Base preset (fruit_nerf_config.py:28-58): 30k iters, 4096 rays/batch.
+
+    variant="tpu" (default): cell-packed hash + freq-MLP proposals (fast path)
+    variant="parity": corner-mode hash + HashMLPDensityField proposals,
+      structurally matching the reference's tcnn/nerfacto stack.
+    """
     field = _field(
         num_images,
         hash=HashEncodingConfig(
-            num_levels=16, log2_hashmap_size=19, base_res=16, max_res=2048
+            num_levels=16, log2_hashmap_size=19, base_res=16, max_res=2048,
+            mode="cell" if variant == "tpu" else "corner",
         ),
+        encoding="freq" if variant == "tpu" else "hash",
+        pos_frequencies=12,
         hidden_dim=64,
         geo_feat_dim=15,
         hidden_dim_color=64,
@@ -67,23 +86,31 @@ def fruit_nerf(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
         appearance_embed_dim=32,
         compute_dtype=compute_dtype,
     )
+    model = FruitModelConfig(field=field)
+    if variant == "tpu":
+        model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
     return TrainConfig(
         preset="fruit_nerf",
-        model=FruitModelConfig(field=field),
+        model=model,
         max_iters=30000,
         train_rays_per_batch=4096,
     )
 
 
-def fruit_nerf_big(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
+def fruit_nerf_big(
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+) -> TrainConfig:
     """Big preset (fruit_nerf_config.py:63-111): 100k iters, 8192 rays, 128
     nerf samples, proposal (512,256), hidden 128, geo_feat 30, semantic 3x128,
     appearance 128, max_res 4096, 2^21 table, anneal 5000, RAdam, split .99."""
     field = _field(
         num_images,
         hash=HashEncodingConfig(
-            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=4096
+            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=4096,
+            mode="cell" if variant == "tpu" else "corner",
         ),
+        encoding="freq" if variant == "tpu" else "hash",
+        pos_frequencies=14,
         hidden_dim=128,
         geo_feat_dim=30,
         hidden_dim_color=128,
@@ -98,6 +125,8 @@ def fruit_nerf_big(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
         num_proposal_samples=(512, 256),
         proposal_weights_anneal_max_num_iters=5000,
     )
+    if variant == "tpu":
+        model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
     radam = OptimizerConfig(name="radam")
     return TrainConfig(
         preset="fruit_nerf_big",
@@ -111,15 +140,20 @@ def fruit_nerf_big(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
     )
 
 
-def fruit_nerf_huge(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
+def fruit_nerf_huge(
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+) -> TrainConfig:
     """Huge preset (fruit_nerf_config.py:113-164): 16384 rays, 64 nerf samples,
     proposal (512,512) with beefier 2-level proposal nets, hidden 256,
     max_res 8192."""
     field = _field(
         num_images,
         hash=HashEncodingConfig(
-            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=8192
+            num_levels=16, log2_hashmap_size=21, base_res=16, max_res=8192,
+            mode="cell" if variant == "tpu" else "corner",
         ),
+        encoding="freq" if variant == "tpu" else "hash",
+        pos_frequencies=14,
         hidden_dim=256,
         geo_feat_dim=30,
         hidden_dim_color=256,
@@ -146,6 +180,8 @@ def fruit_nerf_huge(num_images: int, compute_dtype=jnp.bfloat16) -> TrainConfig:
         ),
         proposal_weights_anneal_max_num_iters=5000,
     )
+    if variant == "tpu":
+        model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
     radam = OptimizerConfig(name="radam")
     return TrainConfig(
         preset="fruit_nerf_huge",

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .math import batched_searchsorted
+
 _EPS = jnp.finfo(jnp.float32).eps
 
 
@@ -35,9 +37,9 @@ def _outer_measure(t0s, t0e, t1s, t1e, y1):
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
-    idx_lo = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1s, t0s) - 1
+    idx_lo = batched_searchsorted(t1s, t0s, side="right") - 1
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1e, t0e)
+    idx_hi = batched_searchsorted(t1e, t0e, side="right")
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
     cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)

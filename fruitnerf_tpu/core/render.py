@@ -46,8 +46,8 @@ def render_depth_median(weights: jnp.ndarray, ray_samples: RaySamples) -> jnp.nd
     default the reference inherits)."""
     steps = ray_samples.midpoints
     cum = jnp.cumsum(weights, axis=-1)
-    split = jnp.full_like(cum[..., :1], 0.5)
-    idx = jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="left"))(cum, split)
+    # index of first cumweight >= 0.5, as a comparison count (TPU-friendly)
+    idx = jnp.sum((cum < 0.5).astype(jnp.int32), axis=-1, keepdims=True)
     idx = jnp.clip(idx, 0, steps.shape[-1] - 1)
     return jnp.take_along_axis(steps, idx, axis=-1)[..., 0]
 

@@ -19,6 +19,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
+from .math import batched_searchsorted
 from .rays import RayBundle, RaySamples
 
 # ---------------------------------------------------------------------------
@@ -152,8 +153,9 @@ def pdf_sample_bins(
         u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins) + 0.5 / num_bins
         u = jnp.broadcast_to(u, (r, num_bins))
 
-    # vectorized searchsorted per ray
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # rowwise searchsorted as a comparison-count (TPU: vmapped binary search
+    # scalarizes; see core.math.batched_searchsorted)
+    inds = batched_searchsorted(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
     above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)

@@ -314,7 +314,8 @@ def train_loop(
     """Python outer loop; all compute stays on device inside step_fn."""
     from .checkpoints import save_checkpoint
 
-    key = key if key is not None else jax.random.PRNGKey(config.seed)
+    # rbg keys: threefry split/fold_in fusions cost ~15ms/step on TPU v5e
+    key = key if key is not None else jax.random.key(config.seed, impl="rbg")
     if state is None:
         state = init_train_state(key, config, data.cameras.num_cameras)
     step_fn = make_train_step(config, mesh)
@@ -335,3 +336,28 @@ def train_loop(
         for cb in callbacks:
             cb(int(state.step), state, metrics)
     return state
+
+
+def subsample_train_images(data: DeviceDataset, max_images: int) -> DeviceDataset:
+    """Evenly subsample the training image set (the big/huge presets train on
+    200 images with dataloader repeats, fruit_nerf_config.py:63-111; with the
+    device-resident store a repeat factor is meaningless — sampling is uniform
+    over the kept images every step)."""
+    idx = np.asarray(data.train_indices)
+    if len(idx) <= max_images:
+        return data
+    keep = np.unique(np.linspace(0, len(idx) - 1, max_images, dtype=np.int64))
+    return data.replace(train_indices=jnp.asarray(idx[keep], jnp.int32))
+
+
+def evaluate_all(
+    params, data: DeviceDataset, indices, config: TrainConfig
+) -> dict:
+    """Average eval metrics over cameras + throughput, the
+    ``get_average_eval_image_metrics`` analog (fruit_pipeline.py:176-227)."""
+    all_stats = []
+    for ci in indices:
+        stats, _ = evaluate_image(params, data, int(ci), config)
+        all_stats.append(stats)
+    keys = all_stats[0].keys()
+    return {k: float(np.mean([s[k] for s in all_stats])) for k in keys}

@@ -1,0 +1,223 @@
+"""Volume export: uniform grid probing of the trained field -> fruit point clouds.
+
+Rebuild of the reference export path (exporter.py:80-121 +
+exporter_utils.py:47-258 + fruit_datamanager.py:42-121 +
+components/ray_generators.py:24-66):
+
+  * an N x N grid of orthographic ray origins on one AABB face, rays along
+    the face normal, nears=0, fars=box extent — N samples per ray gives
+    N^3 uniform volume probes;
+  * per batch: export-mode field query (NO volume rendering) -> positions,
+    rgb, semantic logits, density;
+  * threshold masks (exporter_utils.py:110-114): semantic logit >= 3,
+    density >= 70, sigmoid >= 0.999;
+  * three clouds: semantic_colormap (sigmoid mask & density), semantic
+    (logit mask & density), density; colors = rgb + sigmoid confidence;
+  * un-normalization: points * (1 / dataparser_scale) * 2 (exporter_utils.py:
+    184-191). The x2 is not a fudge factor: training contracts positions via
+    (x+2)/4 while the export path normalizes by the +-1 scene box via (x+1)/2
+    (setup_inference nulls the contraction, fruit_nerf.py:179-183), so field
+    content trained at x' answers queries at x = x'/2 — the x2 maps exported
+    points back to true scene coordinates. The clustering configs' length
+    scales (eps, merge distances, template sizes) are calibrated to this
+    output space.
+
+TPU-first difference: the reference ships every raw sample to the host and
+masks in Python per batch; here thresholding AND stream compaction
+(fixed-capacity ``jnp.nonzero``) run on device inside one jit, so only
+surviving fruit points cross the host boundary (typically <2% of probes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rays import RayBundle
+from ..models.fruit_model import FruitModelConfig, forward_export
+from .ply import write_ply
+
+
+@dataclasses.dataclass(frozen=True)
+class ExportConfig:
+    """Mirrors ExportSemanticPointCloud flags (exporter.py:65-78)."""
+
+    bounding_box_min: tuple = (-1.0, -1.0, -1.0)
+    bounding_box_max: tuple = (1.0, 1.0, 1.0)
+    num_points_per_side: int = 1000
+    num_rays_per_batch: int = 32768
+    semantic_logit_threshold: float = 3.0
+    density_threshold: float = 70.0
+    colormap_prob_threshold: float = 0.999
+    # device-side compaction capacity, as a fraction of probes per batch
+    compaction_fraction: float = 1.0 / 16.0
+
+    @property
+    def aabb(self) -> np.ndarray:
+        return np.array(
+            [self.bounding_box_min, self.bounding_box_max], np.float32
+        )
+
+
+def orthographic_ray_grid(aabb: np.ndarray, n: int, axis: int = 2):
+    """[n*n, 3] ray origins on the min face orthogonal to ``axis`` + the
+    shared direction and far plane (components/ray_generators.py:24-66)."""
+    lo, hi = aabb[0], aabb[1]
+    axes = [a for a in range(3) if a != axis]
+    u = np.linspace(lo[axes[0]], hi[axes[0]], n, dtype=np.float32)
+    v = np.linspace(lo[axes[1]], hi[axes[1]], n, dtype=np.float32)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    origins = np.zeros((n * n, 3), np.float32)
+    origins[:, axes[0]] = uu.ravel()
+    origins[:, axes[1]] = vv.ravel()
+    origins[:, axis] = lo[axis]
+    direction = np.zeros(3, np.float32)
+    direction[axis] = 1.0
+    far = float(hi[axis] - lo[axis])
+    return origins, direction, far
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_config", "num_samples", "capacity"),
+)
+def _export_batch_compact(
+    params,
+    origins,
+    direction,
+    far,
+    scene_aabb,  # [2,3] field-normalization box (the model's scene box)
+    thresholds,  # [3]: logit, density, prob
+    model_config: FruitModelConfig,
+    num_samples: int,
+    capacity: int,
+):
+    r = origins.shape[0]
+    bundle = RayBundle(
+        origins=origins,
+        directions=jnp.broadcast_to(direction, (r, 3)),
+        nears=jnp.zeros((r,)),
+        fars=jnp.full((r,), far),
+        camera_indices=jnp.zeros((r,), jnp.int32),
+    )
+    out = forward_export(params, bundle, model_config, num_samples, scene_aabb)
+    pos = out["positions"].reshape(-1, 3)
+    rgb = out["rgb"].reshape(-1, 3)
+    logit = out["semantics"].reshape(-1)
+    prob = out["semantics_prob"].reshape(-1)
+    density = out["density"].reshape(-1)
+
+    dens_m = density >= thresholds[1]
+    masks = {
+        "semantic": (logit >= thresholds[0]) & dens_m,
+        "semantic_colormap": (prob >= thresholds[2]) & dens_m,
+        "density": dens_m,
+    }
+    colors = jnp.concatenate([rgb, prob[:, None]], axis=-1)  # rgb + confidence
+
+    results = {}
+    for name, m in masks.items():
+        (sel,) = jnp.nonzero(m, size=capacity, fill_value=pos.shape[0] - 1)
+        count = jnp.sum(m.astype(jnp.int32))
+        valid = jnp.arange(capacity) < jnp.minimum(count, capacity)
+        results[name] = {
+            "points": jnp.take(pos, sel, axis=0),
+            "colors": jnp.take(colors, sel, axis=0),
+            "valid": valid,
+            "count": count,
+        }
+    return results
+
+
+def sample_volume(
+    params,
+    model_config: FruitModelConfig,
+    export_config: ExportConfig,
+    dataparser_scale: float,
+    output_dir,
+    scene_aabb=None,  # [2,3]; defaults to the +-1 scene box
+    progress: bool = True,
+) -> dict:
+    """Stream the N^3 probe grid through the field; write the three .ply
+    clouds. Returns {name: {"points", "colors", "path", "overflowed"}}."""
+    n = export_config.num_points_per_side
+    aabb = export_config.aabb
+    origins_np, direction_np, far = orthographic_ray_grid(aabb, n)
+    batch = export_config.num_rays_per_batch
+    num_samples = n
+    capacity = max(1024, int(batch * n * export_config.compaction_fraction))
+    thresholds = jnp.asarray(
+        [
+            export_config.semantic_logit_threshold,
+            export_config.density_threshold,
+            export_config.colormap_prob_threshold,
+        ]
+    )
+    if scene_aabb is None:
+        scene_aabb = np.array([[-1.0] * 3, [1.0] * 3], np.float32)
+    scene_aabb_j = jnp.asarray(scene_aabb)
+    direction = jnp.asarray(direction_np)
+
+    acc = {
+        k: {"points": [], "colors": [], "overflowed": 0}
+        for k in ("semantic", "semantic_colormap", "density")
+    }
+    total = origins_np.shape[0]
+    for start in range(0, total, batch):
+        chunk = origins_np[start : start + batch]
+        if chunk.shape[0] < batch:  # pad to static shape; padded rays land
+            pad = batch - chunk.shape[0]  # outside AABB -> density 0
+            chunk = np.concatenate(
+                [chunk, np.full((pad, 3), 1e6, np.float32)], axis=0
+            )
+        results = _export_batch_compact(
+            params,
+            jnp.asarray(chunk),
+            direction,
+            jnp.asarray(far),
+            scene_aabb_j,
+            thresholds,
+            model_config,
+            num_samples,
+            capacity,
+        )
+        for name, res in results.items():
+            valid = np.asarray(res["valid"])
+            count = int(res["count"])
+            if count > capacity:
+                acc[name]["overflowed"] += count - capacity
+            acc[name]["points"].append(np.asarray(res["points"])[valid])
+            acc[name]["colors"].append(np.asarray(res["colors"])[valid])
+        if progress:
+            done = min(start + batch, total)
+            print(
+                f"export: {done}/{total} rays "
+                f"({done * num_samples / 1e6:.1f}M probes)",
+                flush=True,
+            )
+
+    out = {}
+    output_dir = Path(output_dir)
+    unscale = (1.0 / dataparser_scale) * 2.0  # exporter_utils.py:184-191
+    for name, d in acc.items():
+        pts = (
+            np.concatenate(d["points"]) if d["points"] else np.zeros((0, 3))
+        ) * unscale
+        cols = np.concatenate(d["colors"]) if d["colors"] else np.zeros((0, 4))
+        path = write_ply(output_dir / f"{name}.ply", pts, cols)
+        if d["overflowed"]:
+            print(
+                f"WARNING export/{name}: compaction capacity exceeded, "
+                f"{d['overflowed']} points dropped — raise compaction_fraction"
+            )
+        out[name] = {
+            "points": pts,
+            "colors": cols,
+            "path": path,
+            "overflowed": d["overflowed"],
+        }
+    return out

@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 
 from ..core.math import contract_to_unit, normalize_aabb_to_unit, trunc_exp
-from .encodings import HashEncodingConfig, hash_encode, init_hash_table, sh_encode
+from .encodings import (
+    HashEncodingConfig,
+    hash_encode,
+    init_hash_table,
+    nerf_encode,
+    sh_encode,
+)
 from .mlp import MLPConfig, apply_mlp, init_mlp
 
 
@@ -28,6 +34,14 @@ from .mlp import MLPConfig, apply_mlp, init_mlp
 class FruitFieldConfig:
     num_images: int
     hash: HashEncodingConfig = HashEncodingConfig()
+    # "hash": instant-ngp multires grid (reference parity; corner or cell mode
+    #   per hash.mode). "freq": MXU-native octave frequency encoding — the TPU
+    #   fast path: on v5e, XLA's narrow random gathers (~300M rows/s) and
+    #   scatter-adds (~8M rows/s) make big hash tables memory-bound, while the
+    #   MXU turns an equivalent parameter budget of matmul FLOPs into ~free
+    #   compute (measured: freq field fwd+bwd ~5ms/1M pts vs hash ~420ms).
+    encoding: str = "hash"
+    pos_frequencies: int = 12  # freq encoding octaves
     num_layers_base: int = 2
     hidden_dim: int = 64
     geo_feat_dim: int = 15
@@ -43,10 +57,23 @@ class FruitFieldConfig:
     compute_dtype: Any = jnp.float32
 
     @property
+    def base_in_dim(self) -> int:
+        if self.encoding == "freq":
+            return 3 + 3 * 2 * self.pos_frequencies
+        return self.hash.out_dim
+
+    @property
+    def base_num_layers(self) -> int:
+        # a frequency MLP needs depth to make up for the missing grid capacity
+        return self.num_layers_base if self.encoding == "hash" else max(
+            self.num_layers_base, 4
+        )
+
+    @property
     def base_mlp(self) -> MLPConfig:
         return MLPConfig(
-            in_dim=self.hash.out_dim,
-            num_layers=self.num_layers_base,
+            in_dim=self.base_in_dim,
+            num_layers=self.base_num_layers,
             hidden_dim=self.hidden_dim,
             out_dim=1 + self.geo_feat_dim,
         )
@@ -84,7 +111,11 @@ class FruitFieldConfig:
 def init_fruit_field(key: jax.Array, config: FruitFieldConfig) -> dict[str, Any]:
     k = jax.random.split(key, 6)
     return {
-        "hash_table": init_hash_table(k[0], config.hash),
+        **(
+            {"hash_table": init_hash_table(k[0], config.hash)}
+            if config.encoding == "hash"
+            else {}
+        ),
         "base_mlp": init_mlp(k[1], config.base_mlp),
         "color_mlp": init_mlp(k[2], config.color_mlp),
         "semantic_mlp": init_mlp(k[3], config.semantic_mlp),
@@ -112,7 +143,10 @@ def get_density(
     else:
         assert aabb is not None
         pos01, selector = normalize_aabb_to_unit(positions, aabb)
-    h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
+    if config.encoding == "hash":
+        h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
+    else:
+        h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
     out = apply_mlp(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
     density = trunc_exp(out[..., 0]) * selector
     return density, out[..., 1:]

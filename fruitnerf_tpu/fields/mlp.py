@@ -59,7 +59,8 @@ def apply_mlp(
 ) -> jnp.ndarray:
     """Forward pass; returns float32 regardless of compute dtype."""
     act = _ACTIVATIONS[config.activation]
-    h = x.astype(compute_dtype)
+    batch_shape = x.shape[:-1]
+    h = x.reshape(-1, x.shape[-1]).astype(compute_dtype)  # 2D for clean layouts
     n = config.num_layers
     for i in range(n):
         w = params[f"w{i}"].astype(compute_dtype)
@@ -67,6 +68,6 @@ def apply_mlp(
         h = jnp.dot(h, w, preferred_element_type=compute_dtype) + b
         if i < n - 1:
             h = act(h)
-    h = h.astype(jnp.float32)
+    h = h.astype(jnp.float32).reshape(*batch_shape, config.out_dim)
     out_act = _ACTIVATIONS[config.out_activation]
     return out_act(h)

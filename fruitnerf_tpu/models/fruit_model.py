@@ -41,6 +41,11 @@ from ..fields.density_field import (
     density_field_forward,
     init_density_field,
 )
+from ..fields.freq_density_field import (
+    FreqDensityFieldConfig,
+    freq_density_field_forward,
+    init_freq_density_field,
+)
 from ..fields.encodings import HashEncodingConfig
 from ..fields.fruit_field import (
     FruitFieldConfig,
@@ -81,12 +86,24 @@ class FruitModelConfig:
     colormap_threshold: float = 0.9
 
 
+def _init_proposal(key, cfg):
+    if isinstance(cfg, FreqDensityFieldConfig):
+        return init_freq_density_field(key, cfg)
+    return init_density_field(key, cfg)
+
+
+def _proposal_forward(params, positions, cfg):
+    if isinstance(cfg, FreqDensityFieldConfig):
+        return freq_density_field_forward(params, positions, cfg)
+    return density_field_forward(params, positions, cfg)
+
+
 def init_fruit_model(key: jax.Array, config: FruitModelConfig) -> dict[str, Any]:
     keys = jax.random.split(key, 1 + len(config.proposal_nets))
     return {
         "field": init_fruit_field(keys[0], config.field),
         "proposal_networks": [
-            init_density_field(keys[i + 1], c)
+            _init_proposal(keys[i + 1], c)
             for i, c in enumerate(config.proposal_nets)
         ],
     }
@@ -151,7 +168,7 @@ def forward_train(
 
     def make_density_fn(i):
         def fn(positions):
-            d = density_field_forward(
+            d = _proposal_forward(
                 params["proposal_networks"][i], positions, config.proposal_nets[i]
             )
             return _gate_gradients(d, updated) if train else d

@@ -1,0 +1,66 @@
+"""Export CLI — the ``ns-export-semantics semantic-pointcloud`` equivalent
+(exporter.py:65-135).
+
+    python -m fruitnerf_tpu export --load-dir runs/my_run --output-dir out/ \
+        --num-points-per-side 1000 --bounding-box-min -1 -1 -1
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--load-dir", required=True, help="run dir (manifest + checkpoints)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--num-points-per-side", type=int, default=1000)
+    p.add_argument("--num-rays-per-batch", type=int, default=32768)
+    p.add_argument("--bounding-box-min", type=float, nargs=3, default=(-1, -1, -1))
+    p.add_argument("--bounding-box-max", type=float, nargs=3, default=(1, 1, 1))
+    p.add_argument("--semantic-logit-threshold", type=float, default=3.0)
+    p.add_argument("--density-threshold", type=float, default=70.0)
+    p.add_argument("--colormap-prob-threshold", type=float, default=0.999)
+
+
+def main(args):
+    import jax
+
+    from ..configs import get_preset
+    from ..engine.checkpoints import read_manifest, resume_from_latest
+    from ..engine.trainer import init_train_state
+    from ..export.volume_sampler import ExportConfig, sample_volume
+
+    run_dir = Path(args.load_dir)
+    manifest = read_manifest(run_dir)
+    preset = manifest["preset"]
+    num_images = manifest["num_images"]
+    variant = manifest.get("variant", "tpu")
+    if preset == "fruit_nerf_smoke":
+        config = get_preset(preset, num_images=num_images)
+    else:
+        config = get_preset(preset, num_images=num_images, variant=variant)
+
+    template = init_train_state(jax.random.PRNGKey(0), config, num_images)
+    state, resumed = resume_from_latest(run_dir / "checkpoints", template)
+    if not resumed:
+        raise FileNotFoundError(f"no checkpoint under {run_dir}/checkpoints")
+    print(f"loaded step {int(state.step)} ({preset}, variant={variant})")
+
+    export_config = ExportConfig(
+        bounding_box_min=tuple(args.bounding_box_min),
+        bounding_box_max=tuple(args.bounding_box_max),
+        num_points_per_side=args.num_points_per_side,
+        num_rays_per_batch=args.num_rays_per_batch,
+        semantic_logit_threshold=args.semantic_logit_threshold,
+        density_threshold=args.density_threshold,
+        colormap_prob_threshold=args.colormap_prob_threshold,
+    )
+    out = sample_volume(
+        state.params["model"],
+        config.model,
+        export_config,
+        dataparser_scale=manifest["dataparser_scale"],
+        output_dir=args.output_dir,
+    )
+    for name, d in out.items():
+        print(f"{name}: {d['points'].shape[0]} points -> {d['path']}")

@@ -109,9 +109,12 @@ def test_checkpoint_roundtrip(trained, config, data, tmp_path):
         np.asarray(restored.params["model"]["field"]["hash_table"]),
         np.asarray(state.params["model"]["field"]["hash_table"]),
     )
-    # restored state continues training identically
+    # restored state continues training identically. step_fn donates its
+    # input state, and `state` is the module-scoped fixture used by later
+    # tests — pass a copy so its buffers survive.
     step_fn = make_train_step(config)
-    s1, m1 = step_fn(state, data, jax.random.PRNGKey(7))
+    state_copy = jax.tree.map(jnp.copy, state)
+    s1, m1 = step_fn(state_copy, data, jax.random.PRNGKey(7))
     s2, m2 = step_fn(restored, data, jax.random.PRNGKey(7))
     np.testing.assert_allclose(
         float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
@@ -164,3 +167,42 @@ def test_train_step_multidevice_mesh(config, data):
     state2, metrics = step_fn(state, data, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(state2.step) == 1
+
+
+def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
+    """Export the trained field (tiny grid) and check surviving semantic
+    points lie near ground-truth fruit centers (SURVEY.md §4: export-shape
+    test on a known scene)."""
+    import dataclasses as dc
+
+    from fruitnerf_tpu.export.volume_sampler import ExportConfig, sample_volume
+
+    state, _, _ = trained
+    exp_cfg = ExportConfig(
+        bounding_box_min=(-0.7, -0.7, -0.7),
+        bounding_box_max=(0.7, 0.7, 0.7),
+        num_points_per_side=48,
+        num_rays_per_batch=48 * 48,
+        # short training -> use permissive thresholds scaled to smoke model
+        semantic_logit_threshold=-1.0,
+        density_threshold=0.3,
+        colormap_prob_threshold=0.6,
+        compaction_fraction=0.5,
+    )
+    out = sample_volume(
+        state.params["model"], config.model, exp_cfg,
+        dataparser_scale=1.0, output_dir=tmp_path, progress=False,
+    )
+    assert (tmp_path / "semantic.ply").exists()
+    assert (tmp_path / "density.ply").exists()
+    sem = out["semantic"]["points"]
+    assert out["density"]["points"].shape[0] > 0
+    if sem.shape[0] >= 20:
+        # exported points are already in true scene coordinates (the x2
+        # un-normalization undoes the contraction/normalization mismatch)
+        pts = sem
+        centers = scene["fruit_centers"]
+        d = np.linalg.norm(pts[:, None, :] - centers[None], axis=-1).min(axis=1)
+        # most surviving semantic points sit within ~2 fruit radii of a fruit
+        assert np.median(d) < 2.5 * scene["fruit_radius"], (
+            sem.shape, float(np.median(d)))
