@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .math import batched_searchsorted
+from .math import batched_searchsorted, take_sorted
 
 _EPS = jnp.finfo(jnp.float32).eps
 
@@ -41,8 +41,9 @@ def _outer_measure(t0s, t0e, t1s, t1e, y1):
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
     idx_hi = batched_searchsorted(t1e, t0e, side="right")
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    # cy1 is a cumsum of non-negative weights (ascending) -> take_sorted
+    cy1_lo = take_sorted(cy1[..., :-1], idx_lo)
+    cy1_hi = take_sorted(cy1[..., 1:], idx_hi)
     return cy1_hi - cy1_lo
 
 

@@ -95,3 +95,20 @@ def batched_searchsorted(
     else:
         cmp = a[:, None, :] < v[:, :, None]
     return jnp.sum(cmp.astype(jnp.int32), axis=-1)
+
+
+def take_sorted(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Rowwise gather from an ASCENDING array: vals [R, K], idx [R, Q] (>=0)
+    -> vals[r, idx[r, q]].
+
+    TPU-first: XLA lowers take_along_axis to per-element gathers (~11 ns/elem
+    on v5e — profiled at 20+ ms/step in the PDF sampler); because ``vals`` is
+    sorted ascending, the gathered value equals the masked row maximum over a
+    prefix, which streams on the VPU. O(K*Q) compares, but fused into one
+    reduction pass.
+    """
+    k = vals.shape[-1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    mask = kk <= idx[..., None]  # [R, Q, K] prefix mask
+    neg = jnp.finfo(vals.dtype).min
+    return jnp.max(jnp.where(mask, vals[:, None, :], neg), axis=-1)

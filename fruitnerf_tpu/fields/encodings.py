@@ -297,18 +297,6 @@ def sh_encode(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def _freq_matrix(dim: int, num_frequencies: int, min_freq_exp: float, max_freq_exp: float):
-    """[D, D*F] block matrix: column d*F+k scales input dim d by 2^freq_k.
-    Keeps the frequency expansion a single 2D matmul — no [P, D, F] 3D temps
-    (TPU pads small trailing dims to 128 lanes)."""
-    freqs = 2.0 ** np.linspace(min_freq_exp, max_freq_exp, num_frequencies)
-    m = np.zeros((dim, dim * num_frequencies), np.float32)
-    for d in range(dim):
-        m[d, d * num_frequencies : (d + 1) * num_frequencies] = freqs
-    return m  # numpy: safe to cache across jit traces
-
-
 def nerf_encode(
     x: jnp.ndarray,
     num_frequencies: int,
@@ -319,15 +307,18 @@ def nerf_encode(
     """sin/cos at octave frequencies; [..., D] -> [..., D*2*F (+D)]."""
     if max_freq_exp is None:
         max_freq_exp = num_frequencies - 1
-    m = _freq_matrix(x.shape[-1], num_frequencies, float(min_freq_exp), float(max_freq_exp))
-    # flatten to 2D: 3D activations with small trailing dims get transposed
-    # kLoop fusions + padded layouts on TPU (profiled at 10-20x slowdown)
+    # flatten to 2D and build the frequency expansion as fused elementwise
+    # broadcasts + one concat: 3D temps with small trailing dims get padded
+    # kLoop fusions on TPU, and a [P,3]@[3,DF] matmul gets degenerate layouts
+    # (both profiled); broadcast-multiply-concat fuses into one VPU pass.
     batch_shape = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    scaled = jnp.dot(x2, jnp.asarray(m, x.dtype), preferred_element_type=x.dtype)
-    enc = jnp.concatenate(
-        [jnp.sin(jnp.pi * scaled), jnp.cos(jnp.pi * scaled)], axis=-1
+    freqs = jnp.pi * 2.0 ** jnp.linspace(
+        min_freq_exp, max_freq_exp, num_frequencies, dtype=x.dtype
     )
+    cols = [x2[:, d : d + 1] * freqs[None, :] for d in range(x2.shape[-1])]
+    scaled = jnp.concatenate(cols, axis=-1)  # [P, D*F]
+    enc = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
     if include_input:
         enc = jnp.concatenate([x2, enc], axis=-1)
     return enc.reshape(*batch_shape, enc.shape[-1])

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.math import contract_to_unit, normalize_aabb_to_unit, trunc_exp
 from .encodings import nerf_encode
-from .mlp import MLPConfig, apply_mlp, init_mlp
+from .mlp import MLPConfig, apply_mlp_fast, init_mlp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,5 +67,5 @@ def freq_density_field_forward(
         assert aabb is not None
         pos01, selector = normalize_aabb_to_unit(positions, aabb)
     enc = nerf_encode(pos01 * 2.0 - 1.0, config.num_frequencies, include_input=True)
-    out = apply_mlp(params["mlp"], enc, config.mlp, config.compute_dtype)
+    out = apply_mlp_fast(params["mlp"], enc, config.mlp, config.compute_dtype)
     return trunc_exp(out[..., 0]) * selector

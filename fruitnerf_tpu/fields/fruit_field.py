@@ -27,7 +27,7 @@ from .encodings import (
     nerf_encode,
     sh_encode,
 )
-from .mlp import MLPConfig, apply_mlp, init_mlp
+from .mlp import MLPConfig, apply_mlp, apply_mlp_fast, init_mlp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,7 +147,7 @@ def get_density(
         h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
     else:
         h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
-    out = apply_mlp(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
+    out = apply_mlp_fast(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
     density = trunc_exp(out[..., 0]) * selector
     return density, out[..., 1:]
 
@@ -185,10 +185,12 @@ def fruit_field_forward(
     app = jnp.broadcast_to(app[:, None, :], (app.shape[0], num_samples, app.shape[-1]))
 
     color_in = jnp.concatenate([sh, geo, app], axis=-1)
-    rgb = apply_mlp(params["color_mlp"], color_in, config.color_mlp, config.compute_dtype)
+    rgb = apply_mlp_fast(
+        params["color_mlp"], color_in, config.color_mlp, config.compute_dtype
+    )
 
     sem_in = geo if config.pass_semantic_gradients else jax.lax.stop_gradient(geo)
-    sem_h = apply_mlp(
+    sem_h = apply_mlp_fast(
         params["semantic_mlp"], sem_in, config.semantic_mlp, config.compute_dtype
     )
     semantics = apply_mlp(

@@ -71,3 +71,38 @@ def apply_mlp(
     h = h.astype(jnp.float32).reshape(*batch_shape, config.out_dim)
     out_act = _ACTIVATIONS[config.out_activation]
     return out_act(h)
+
+
+def apply_mlp_fast(
+    params: dict[str, Any],
+    x: jnp.ndarray,
+    config: MLPConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """apply_mlp, optionally via the fused Pallas kernel (FRUITNERF_PALLAS_MLP=1).
+
+    Measured end-to-end on v5e the XLA path wins for these narrow MLPs inside
+    the full train graph: the custom_vjp boundary blocks producer/consumer
+    fusion and the backward kernel's cross-block dW accumulation serializes
+    its grid (61K vs 372K rays/s on the flagship bench). The kernel stays as
+    the foundation for a future fused encode+MLP+composite megakernel, where
+    fusion across the whole field pass tips the balance.
+    """
+    import os
+
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    use_pallas = (
+        os.environ.get("FRUITNERF_PALLAS_MLP") == "1"
+        and jax.devices()[0].platform == "tpu"
+        and config.num_layers >= 2
+        and rows >= 1 << 15
+        and max(config.in_dim, config.hidden_dim, config.out_dim) <= 512
+        and config.activation == "relu"
+    )
+    if not use_pallas:
+        return apply_mlp(params, x, config, compute_dtype)
+    from ..ops.pallas.fused_mlp import fused_apply_mlp
+
+    return fused_apply_mlp(params, x, config, compute_dtype)
