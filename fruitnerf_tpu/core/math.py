@@ -16,12 +16,14 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x):
-    """exp(x) whose backward clamps the exponent to avoid inf gradients."""
-    return jnp.exp(x)
+    """exp with a bounded exponent: forward clips at ±30 (exp(30)=1e13 is far
+    beyond opaque; an unbounded exp produced inf density under lr=1e-2, and
+    inf*delta NaNs the transmittance cumsum), backward clamps at ±15."""
+    return jnp.exp(jnp.clip(x, -30.0, 30.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -30.0, 30.0)), x
 
 
 def _trunc_exp_bwd(x, g):

@@ -219,7 +219,9 @@ def proposal_sample(
     for i in range(n_levels):
         density = density_fns[i](samples.positions())
         weights = samples.get_weights(density)
-        annealed = jnp.power(weights, anneal)
+        # d/dw w**a is inf at w=0 for a<1, and selector-zeroed densities make
+        # exact-zero weights common — clamp inside pow only
+        annealed = jnp.power(jnp.maximum(weights, 1e-12), anneal)
         weights_list.append(weights)
         ray_samples_list.append(samples)
         num_next = (
