@@ -108,3 +108,37 @@ def test_cell_mode_quality_parity_with_corner():
     # loose parity bound: the fast path learns the scene comparably
     assert psnr_cell > psnr_corner - 2.0, (psnr_cell, psnr_corner)
     assert psnr_cell > 14.0
+
+
+def test_freq_variant_learns():
+    """The flagship tpu variant (frequency field + freq proposals + MLP
+    learning rates) must actually learn — guards the lr-regime regression
+    found on TPU (hash-tuned lr=1e-2 left the freq field stuck)."""
+    from fruitnerf_tpu.configs import TPU_MLP_OPT
+
+    scene = render_scene(
+        SyntheticSceneConfig(num_fruits=4, num_cameras=10, image_size=40, num_leaves=8)
+    )
+    data = dataset_from_scene(scene)
+    base = fruit_nerf_smoke(num_images=data.cameras.num_cameras)
+    field = dataclasses.replace(
+        base.model.field, encoding="freq", pos_frequencies=10,
+    )
+    model = dataclasses.replace(
+        base.model, field=field, proposal_nets=TPU_PROPOSAL_NETS
+    )
+    cfg = dataclasses.replace(
+        base, model=model, train_rays_per_batch=512,
+        fields_opt=TPU_MLP_OPT, proposal_opt=TPU_MLP_OPT,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg, data.cameras.num_cameras)
+    step_fn = make_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(250):
+        state, metrics = step_fn(state, data, key)
+        if first is None:
+            first = float(metrics["psnr"])
+    last = float(metrics["psnr"])
+    assert last > first + 1.0, (first, last)
+    assert np.isfinite(float(metrics["total_loss"]))
