@@ -37,6 +37,7 @@ class OptimizerConfig:
     lr_final: float = 1e-4
     eps: float = 1e-15
     max_steps: int | None = None  # None -> train max_iters
+    warmup_steps: int = 0  # lr held at 0 until this step
 
 # The reference's lr=1e-2 (fruit_nerf_config.py:47-56) is tuned for sparse
 # per-entry hash-table updates; on the tpu variant's shared frequency MLPs it
@@ -57,7 +58,13 @@ class TrainConfig:
     steps_per_log: int = 100
     fields_opt: OptimizerConfig = OptimizerConfig()
     proposal_opt: OptimizerConfig = OptimizerConfig()
-    camera_opt: OptimizerConfig = OptimizerConfig(lr_init=6e-4, lr_final=6e-5)
+    # camera-opt warmup: pose gradients before geometry stabilizes are
+    # garbage, and Adam(eps=1e-15) runs poses away on them — validated on
+    # TPU: with immediate camera-opt the flagship learned only displaced fog
+    # (eval PSNR 7-8); with it disabled/warmed up, geometry lands correctly
+    camera_opt: OptimizerConfig = OptimizerConfig(
+        lr_init=6e-4, lr_final=6e-5, warmup_steps=2500
+    )
     use_camera_opt: bool = True
     train_split_fraction: float = 0.9
     # big preset subsamples to 200 images repeated (fruit_nerf_config.py:63-111)

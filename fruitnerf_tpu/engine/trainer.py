@@ -92,6 +92,9 @@ def _make_group_tx(opt: OptimizerConfig, max_steps: int) -> optax.GradientTransf
         transition_steps=steps,
         decay_rate=opt.lr_final / opt.lr_init,
     )
+    if opt.warmup_steps:
+        zero = optax.constant_schedule(0.0)
+        schedule = optax.join_schedules([zero, schedule], [opt.warmup_steps])
     if opt.name == "adam":
         return optax.adam(schedule, eps=opt.eps)
     if opt.name == "radam":
