@@ -193,12 +193,14 @@ def sample_volume(
             capacity,
         )
         for name, res in results.items():
-            valid = np.asarray(res["valid"])
-            count = int(res["count"])
+            count = int(res["count"])  # tiny sync
             if count > capacity:
                 acc[name]["overflowed"] += count - capacity
-            acc[name]["points"].append(np.asarray(res["points"])[valid])
-            acc[name]["colors"].append(np.asarray(res["colors"])[valid])
+            n = min(count, capacity)
+            # slice on device BEFORE the host transfer: fruit points are a
+            # tiny fraction of capacity, and host links can be slow
+            acc[name]["points"].append(np.asarray(res["points"][:n]))
+            acc[name]["colors"].append(np.asarray(res["colors"][:n]))
         if progress:
             done = min(start + batch, total)
             print(
