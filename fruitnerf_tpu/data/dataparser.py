@@ -166,14 +166,6 @@ def parse_transforms(config: DataParserConfig) -> ParsedScene:
             train_idx = np.unique(train_idx)
             eval_idx = np.setdiff1d(np.arange(n), train_idx)
 
-    # applied_transform / applied_scale from preprocessing
-    # (fruitnerf_dataparser.py:275-282)
-    if "applied_transform" in meta:
-        at = np.array(meta["applied_transform"], np.float64)
-        if at.shape == (3, 4):
-            at = np.concatenate([at, [[0, 0, 0, 1]]], axis=0)
-        poses = np.einsum("ij,njk->nik", at, poses)
-
     oriented, transform = auto_orient_and_center_poses(
         poses, method=config.orientation_method, center_method=config.center_method
     )
@@ -181,6 +173,21 @@ def parse_transforms(config: DataParserConfig) -> ParsedScene:
     if config.auto_scale_poses:
         oriented, scale = auto_scale_poses(oriented)
     scale *= config.scale_factor
+
+    # applied_transform / applied_scale from preprocessing
+    # (fruitnerf_dataparser.py:275-282): the poses in transforms.json already
+    # live in the preprocessed frame, so these compose into the REPORTED
+    # dataparser transform/scale only — export un-normalization then maps
+    # points all the way back to the original (pre-preprocessing) world frame,
+    # keeping length-calibrated counting hyperparameters valid.
+    if "applied_transform" in meta:
+        at = np.array(meta["applied_transform"], np.float64)
+        if at.shape == (3, 4):
+            at = np.concatenate([at, [[0, 0, 0, 1]]], axis=0)
+        t4 = np.concatenate([transform, [[0, 0, 0, 1]]], axis=0)
+        transform = (t4 @ at)[:3]
+    if "applied_scale" in meta:
+        scale *= float(meta["applied_scale"])
 
     aabb = np.array(
         [[-config.scene_scale] * 3, [config.scene_scale] * 3], np.float32

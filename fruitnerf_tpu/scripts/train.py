@@ -26,6 +26,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--train-rays-per-batch", type=int, default=None)
     p.add_argument("--downscale-factor", type=int, default=None)
+    p.add_argument("--train-split-fraction", type=float, default=None,
+                   help="override the preset's train split fraction")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in output-dir")
     p.add_argument("--seed", type=int, default=42)
@@ -42,12 +44,21 @@ def main(args):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    # the preset's split fraction (0.99 for big/huge, fruit_nerf_config.py:111)
+    # must reach the dataparser; num_images doesn't affect it, so probe with 1
+    preset_split = get_preset(args.preset, num_images=1).train_split_fraction
+    split = (
+        args.train_split_fraction
+        if args.train_split_fraction is not None
+        else preset_split
+    )
+
     if args.data == "synthetic":
         from ..data.builder import dataset_from_scene
         from ..data.synthetic import SyntheticSceneConfig, render_scene
 
         scene = render_scene(SyntheticSceneConfig(num_cameras=24, image_size=128))
-        data = dataset_from_scene(scene)
+        data = dataset_from_scene(scene, train_fraction=split)
         eval_indices = np.array([0])
         transform = np.eye(4)[:3]
         scale = 1.0
@@ -59,7 +70,9 @@ def main(args):
 
         parsed = parse_transforms(
             DataParserConfig(
-                data_dir=Path(args.data), downscale_factor=args.downscale_factor
+                data_dir=Path(args.data),
+                downscale_factor=args.downscale_factor,
+                train_split_fraction=split,
             )
         )
         data = dataset_from_parsed(parsed)

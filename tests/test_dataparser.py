@@ -87,6 +87,61 @@ def test_parse_transforms_explicit_split(toy_dataset):
     assert list(parsed.eval_indices) == [2]
 
 
+def test_applied_transform_and_scale_honored(toy_dataset):
+    """applied_transform/applied_scale (fruitnerf_dataparser.py:275-282)
+    compose into the REPORTED dataparser transform/scale — training poses are
+    untouched (they already live in the preprocessed frame), but export
+    un-normalization maps back to the original world frame."""
+    base = parse_transforms(DataParserConfig(data_dir=toy_dataset))
+    with open(toy_dataset / "transforms.json") as f:
+        meta = json.load(f)
+    at = np.eye(4)
+    at[:3, :3] = np.array([[0, 1, 0], [1, 0, 0], [0, 0, -1]], float)
+    at[:3, 3] = [0.5, -0.25, 2.0]
+    meta["applied_transform"] = at[:3].tolist()
+    meta["applied_scale"] = 0.5
+    with open(toy_dataset / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    parsed = parse_transforms(DataParserConfig(data_dir=toy_dataset))
+    # training-space poses are identical
+    np.testing.assert_allclose(parsed.poses, base.poses, atol=1e-6)
+    # reported scale picked up applied_scale
+    np.testing.assert_allclose(
+        parsed.dataparser_scale, base.dataparser_scale * 0.5, rtol=1e-6
+    )
+    # reported transform is base_transform @ applied_transform
+    b4 = np.concatenate([base.dataparser_transform, [[0, 0, 0, 1]]], axis=0)
+    np.testing.assert_allclose(
+        parsed.dataparser_transform, (b4 @ at)[:3], atol=1e-9
+    )
+
+
+def test_train_cli_wires_preset_split_fraction(tmp_path, toy_dataset, monkeypatch):
+    """Regression: the preset's train_split_fraction must reach the
+    dataparser (it was dead config in round 1)."""
+    import fruitnerf_tpu.data.dataparser as dp_mod
+    from fruitnerf_tpu.__main__ import main as cli
+
+    seen = {}
+    orig = dp_mod.parse_transforms
+
+    def spy(config):
+        seen["fraction"] = config.train_split_fraction
+        return orig(config)
+
+    monkeypatch.setattr("fruitnerf_tpu.scripts.train.parse_transforms", spy, raising=False)
+    # train.py imports parse_transforms inside main(); patch at the source
+    monkeypatch.setattr(dp_mod, "parse_transforms", spy)
+    out = tmp_path / "run"
+    cli([
+        "train", "--preset", "fruit_nerf_smoke",
+        "--data", str(toy_dataset), "--output-dir", str(out),
+        "--max-iters", "1", "--train-rays-per-batch", "64",
+        "--train-split-fraction", "0.5",
+    ])
+    assert seen["fraction"] == 0.5
+
+
 def test_mask_normalization_rules():
     # fruit_dataset.py:48-55 rules
     jpg_mask = np.array([[0, 120, 130, 255]], np.uint8)

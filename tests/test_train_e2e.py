@@ -169,6 +169,36 @@ def test_train_step_multidevice_mesh(config, data):
     assert int(state2.step) == 1
 
 
+def test_dp_1_vs_8_numerical_equivalence(config, data):
+    """SURVEY.md §4: DP on 1 chip == DP on N chips. Same init and batch key;
+    the 8-device sharded step must produce the same loss, metrics, and
+    updated params as the single-device step. A wrong sharding annotation
+    that silently averaged instead of summing gradients would fail here."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import Mesh
+
+    def run(mesh):
+        state = init_train_state(
+            jax.random.PRNGKey(0), config, data.cameras.num_cameras
+        )
+        step_fn = make_train_step(config, mesh=mesh)
+        state, metrics = step_fn(state, data, jax.random.PRNGKey(1))
+        return state, jax.tree.map(float, metrics)
+
+    s1, m1 = run(None)
+    s8, m8 = run(Mesh(np.asarray(jax.devices()[:8]), ("data",)))
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, err_msg=k)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(leaves1) == len(leaves8)
+    for a, b in zip(leaves1, leaves8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
     """Export the trained field (tiny grid) and check surviving semantic
     points lie near ground-truth fruit centers (SURVEY.md §4: export-shape
