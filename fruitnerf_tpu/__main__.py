@@ -6,6 +6,7 @@ Commands mirror the reference's console scripts (pyproject.toml:24-32):
   count         clustering/run_clustering.py (+ --sweep)
   process-data  ns-process-fruit-data fruit (mask ingestion)
   render        offline eval-camera render (debug/render.py analog)
+  eval          ns-eval analog: averaged full-eval-set metrics
 """
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ import argparse
 import sys
 
 from .scripts import count as count_cmd
+from .scripts import evaluate as eval_cmd
 from .scripts import export as export_cmd
 from .scripts import process_data as process_cmd
 from .scripts import render as render_cmd
@@ -24,6 +26,7 @@ COMMANDS = {
     "count": count_cmd,
     "process-data": process_cmd,
     "render": render_cmd,
+    "eval": eval_cmd,
 }
 
 

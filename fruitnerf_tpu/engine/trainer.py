@@ -277,9 +277,11 @@ def evaluate_image(
     data: DeviceDataset,
     camera_index: int,
     config: TrainConfig,
+    lpips_weights_path=None,
 ) -> tuple[dict, dict]:
     """Renders one eval camera and computes PSNR/SSIM/IoU + throughput
-    (fruit_pipeline.py:157-227 emits num_rays_per_sec and fps)."""
+    (fruit_pipeline.py:157-227 emits num_rays_per_sec and fps). LPIPS is
+    reported too when backbone weights are supplied (fruit_nerf.py:425)."""
     import time
 
     from ..utils import metrics as M
@@ -300,6 +302,10 @@ def evaluate_image(
         "num_rays_per_sec": h * w / dt,
         "fps": 1.0 / dt,
     }
+    if lpips_weights_path is not None:
+        from ..utils.lpips import lpips
+
+        stats["lpips"] = lpips(out["rgb"], gt, weights_path=lpips_weights_path)
     return stats, out
 
 
@@ -329,8 +335,11 @@ def train_loop(
         if writer is not None and (it + 1) % config.steps_per_log == 0:
             writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
         if (it + 1) % config.steps_per_eval == 0 and eval_indices is not None and len(eval_indices):
+            # rotate through the eval cameras across eval steps (the reference
+            # evals a random eval image each time, fruit_pipeline.py:147-155)
+            which = ((it + 1) // config.steps_per_eval - 1) % len(eval_indices)
             stats, _ = evaluate_image(
-                state.params, data, int(eval_indices[0]), config
+                state.params, data, int(eval_indices[which]), config
             )
             if writer is not None:
                 writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
@@ -354,13 +363,16 @@ def subsample_train_images(data: DeviceDataset, max_images: int) -> DeviceDatase
 
 
 def evaluate_all(
-    params, data: DeviceDataset, indices, config: TrainConfig
+    params, data: DeviceDataset, indices, config: TrainConfig,
+    lpips_weights_path=None,
 ) -> dict:
     """Average eval metrics over cameras + throughput, the
     ``get_average_eval_image_metrics`` analog (fruit_pipeline.py:176-227)."""
     all_stats = []
     for ci in indices:
-        stats, _ = evaluate_image(params, data, int(ci), config)
+        stats, _ = evaluate_image(
+            params, data, int(ci), config, lpips_weights_path=lpips_weights_path
+        )
         all_stats.append(stats)
     keys = all_stats[0].keys()
     return {k: float(np.mean([s[k] for s in all_stats])) for k in keys}

@@ -36,6 +36,11 @@ def add_args(p: argparse.ArgumentParser):
                    help="existing transforms.json with poses (e.g. from COLMAP); "
                         "if omitted, looks in --data's parent")
     p.add_argument("--num-downscales", type=int, default=3)
+    p.add_argument("--camera-type", default="perspective",
+                   choices=["perspective", "equirectangular"],
+                   help="equirectangular: fan each 360 frame into planar views "
+                        "before ingestion (fruit_nerf_dataset.py:277-283)")
+    p.add_argument("--images-per-equirect", type=int, default=8, choices=[8, 14])
 
 
 def _downscale(src: Path, dst: Path, factor: int, is_mask: bool):
@@ -45,10 +50,57 @@ def _downscale(src: Path, dst: Path, factor: int, is_mask: bool):
     img.resize((max(w // factor, 1), max(h // factor, 1)), resample).save(dst)
 
 
+def _expand_equirect(data_dir: Path, sem_dir: Path, out: Path, n_views: int):
+    """Fan every equirectangular image (and its mask) into planar views; the
+    resulting perspective folders replace the inputs for the rest of the
+    pipeline. Poses must then come from COLMAP on the planar views, as in the
+    reference (fruit_nerf_dataset.py:277-283)."""
+    from ..data.equirect import generate_planar_projections
+
+    pers_images = out / "_planar_images"
+    pers_masks = out / "_planar_semantics"
+    pers_images.mkdir(parents=True, exist_ok=True)
+    pers_masks.mkdir(parents=True, exist_ok=True)
+    image_files = sorted(
+        p for p in data_dir.iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+    mask_by_stem = {
+        p.stem: p
+        for p in sem_dir.iterdir()
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+    } if sem_dir.is_dir() else {}
+    for img_path in image_files:
+        eq = np.asarray(Image.open(img_path).convert("RGB"))
+        views = generate_planar_projections(eq, n_views)
+        for k, view in enumerate(views):
+            Image.fromarray(view.astype(np.uint8)).save(
+                pers_images / f"{img_path.stem}_v{k:02d}.png"
+            )
+        mask_path = mask_by_stem.get(img_path.stem)
+        if mask_path is not None:
+            m = np.asarray(Image.open(mask_path).convert("L"))
+            for k, view in enumerate(
+                generate_planar_projections(m, n_views, nearest=True)
+            ):
+                Image.fromarray(view.astype(np.uint8)).save(
+                    pers_masks / f"{img_path.stem}_v{k:02d}.png"
+                )
+    print(
+        f"equirect: {len(image_files)} frames -> "
+        f"{len(image_files) * n_views} planar views"
+    )
+    return pers_images, pers_masks
+
+
 def main(args):
     data_dir = Path(args.data)
     sem_dir = Path(args.data_semantic)
     out = Path(args.output_dir)
+    if args.camera_type == "equirectangular":
+        data_dir, sem_dir = _expand_equirect(
+            data_dir, sem_dir, out, args.images_per_equirect
+        )
     images_out = out / "images"
     sem_out = out / "semantics"
     images_out.mkdir(parents=True, exist_ok=True)

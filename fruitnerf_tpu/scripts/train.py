@@ -31,6 +31,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in output-dir")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lpips-weights", default=None,
+                   help="npz of LPIPS backbone weights (utils/lpips.py schema); "
+                        "adds LPIPS to eval metrics")
 
 
 def main(args):
@@ -38,7 +41,7 @@ def main(args):
 
     from ..configs import get_preset
     from ..engine.checkpoints import resume_from_latest, save_checkpoint, write_manifest
-    from ..engine.trainer import evaluate_image, init_train_state, train_loop
+    from ..engine.trainer import evaluate_all, init_train_state, train_loop
     from ..utils.writer import MetricWriter
 
     out_dir = Path(args.output_dir)
@@ -106,7 +109,11 @@ def main(args):
         scene_aabb=aabb,
         num_images=num_images,
         semantics_classes=classes,
-        extra={"variant": args.variant, "max_iters": config.max_iters},
+        extra={
+            "variant": args.variant,
+            "max_iters": config.max_iters,
+            "train_split_fraction": split,
+        },
     )
 
     key = jax.random.PRNGKey(config.seed)
@@ -127,6 +134,11 @@ def main(args):
     )
     save_checkpoint(ckpt_dir, state)
     if len(eval_indices):
-        stats, _ = evaluate_image(state.params, data, int(eval_indices[0]), config)
+        # full-eval-set averages, the get_average_eval_image_metrics analog
+        # (fruit_pipeline.py:176-227)
+        stats = evaluate_all(
+            state.params, data, eval_indices, config,
+            lpips_weights_path=args.lpips_weights,
+        )
         writer.write(int(state.step), {f"final_eval_{k}": v for k, v in stats.items()})
     print(f"done: step {int(state.step)}, artifacts in {out_dir}")
