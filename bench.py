@@ -1,12 +1,26 @@
-"""Benchmark: fused train-step throughput of the flagship ``fruit_nerf``
-preset (4096 rays/batch, full proposal + hash-field + losses + optimizer) on
-real hardware.
+"""Benchmark suite: one JSON line per BASELINE.json primary metric.
 
-Baseline (BASELINE.md): the reference trains 30,000 iters x 4096 rays in
-~15 min on an unspecified GPU => ~136,533 train rays/sec. vs_baseline is the
-ratio of our measured train rays/sec to that number.
+Rows (one JSON object per line; the headline train_rays_per_sec row is LAST
+so single-line parsers keep reading the round-1-comparable number):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  export_probes_per_sec  volume-export throughput, N^3 uniform probes
+                         through the flagship field with on-device
+                         threshold+compaction (exporter_utils.py:47-258
+                         ships every raw sample to the host instead)
+  count_error_pct        counting-cascade accuracy at reference scale:
+                         283 procedurally placed apples (the synthetic apple
+                         scene's GT count, config_synthetic.py:14) -> DBSCAN
+                         -> merge -> split -> count, |error| as % of GT
+  count_points_per_sec   cascade throughput on that cloud (outlier removal
+                         and DBSCAN neighbor math run on-device,
+                         counting/dbscan_device.py)
+  train_step_mfu_pct     XLA-reported train-step FLOPs / wall-time, as % of
+                         the measured 170 TFLOP/s bf16 peak (NOTES_ROUND2)
+  train_rays_per_sec     fused train-step throughput, flagship preset
+                         (vs ~136,533 rays/s = reference 30k x 4096 in 15min,
+                         README.md:195)
+
+Each row carries vs_baseline where a reference anchor exists.
 """
 from __future__ import annotations
 
@@ -14,12 +28,75 @@ import json
 import time
 
 BASELINE_RAYS_PER_SEC = 30_000 * 4096 / (15 * 60)  # ~136,533
+MEASURED_BF16_PEAK_FLOPS = 170e12  # NOTES_ROUND2 measured v5e matmul peak
+
+
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    row = {"metric": metric, "value": value, "unit": unit}
+    if vs_baseline is not None:
+        row["vs_baseline"] = vs_baseline
+    row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def bench_counting():
+    """283-apple procedural orchard cloud -> full cascade -> count error."""
+    import numpy as np
+
+    from fruitnerf_tpu.counting.clustering import (
+        FruitClustering,
+        evaluate_against_gt,
+    )
+    from fruitnerf_tpu.counting.profiles import SYNTHETIC_PROFILES
+
+    profile = SYNTHETIC_PROFILES["apple"]
+    gt = profile.gt_count  # 283
+    rng = np.random.RandomState(0)
+    radius = 0.04 * profile.template_size  # template BASE_RADIUS x size
+
+    # non-overlapping fruit centers in a tree-crown shell
+    centers = []
+    while len(centers) < gt:
+        c = rng.randn(3) * np.array([0.5, 0.5, 0.35])
+        if centers and np.min(
+            np.linalg.norm(np.asarray(centers) - c, axis=1)
+        ) < 3.2 * radius:
+            continue
+        centers.append(c)
+    centers = np.asarray(centers, np.float32)
+
+    # volume samples per fruit at export probe density (N=1000 over a +-1
+    # box -> 0.002 spacing, exporter.py:77-78) + stray noise: ~3.3M points,
+    # the real shape of a reference-scale semantic_colormap.ply
+    spacing = 0.002
+    g = np.arange(-radius, radius + spacing, spacing, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    ball = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    ball = ball[np.linalg.norm(ball, axis=1) <= radius]
+    cloud = (centers[:, None, :] + ball[None]).reshape(-1, 3)
+    noise = rng.uniform(-1.2, 1.2, (int(0.01 * cloud.shape[0]), 3))
+    cloud = np.concatenate([cloud, noise.astype(np.float32)]).astype(np.float32)
+
+    t0 = time.perf_counter()
+    result = FruitClustering(profile).count(cloud)
+    dt = time.perf_counter() - t0
+    metrics = evaluate_against_gt(result.centers, centers)
+    err_pct = abs(result.count - gt) / gt * 100.0
+    _emit(
+        "count_error_pct", round(err_pct, 2), "%",
+        count=result.count, gt_count=gt, f1=round(metrics["F1"], 4),
+    )
+    _emit(
+        "count_points_per_sec", round(cloud.shape[0] / dt, 1), "points/s",
+        cloud_points=int(cloud.shape[0]),
+    )
 
 
 def main():
     import dataclasses
 
     import jax
+    import numpy as np
 
     from fruitnerf_tpu.configs import fruit_nerf
     from fruitnerf_tpu.data.builder import dataset_from_scene
@@ -39,13 +116,43 @@ def main():
     )
     step_fn = make_train_step(config)
 
-    # warmup + compile; force full materialization via a param value fetch
-    # (block_until_ready alone under-reports through the remote TPU runtime)
+    # ---- export throughput (N=192 grid keeps the row under ~15 s) ---------
+    from fruitnerf_tpu.export.volume_sampler import ExportConfig, sample_volume
+    import tempfile
+
+    n_side = 192
+    exp_cfg = ExportConfig(
+        num_points_per_side=n_side, num_rays_per_batch=n_side * n_side
+    )
+    with tempfile.TemporaryDirectory() as td:
+        # warm the jit
+        sample_volume(
+            state.params["model"], config.model, exp_cfg,
+            dataparser_scale=1.0, output_dir=td, progress=False,
+        )
+        t0 = time.perf_counter()
+        sample_volume(
+            state.params["model"], config.model, exp_cfg,
+            dataparser_scale=1.0, output_dir=td, progress=False,
+        )
+        dt_export = time.perf_counter() - t0
+    probes = n_side**3
+    _emit(
+        "export_probes_per_sec", round(probes / dt_export, 1), "probes/s",
+        grid_side=n_side,
+    )
+
+    # ---- counting cascade (CPU) --------------------------------------------
+    bench_counting()
+
+    # ---- train-step throughput + MFU ---------------------------------------
     def run(n):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
             state, metrics = step_fn(state, data, key)
+        # force full materialization via a param value fetch
+        # (block_until_ready alone under-reports through the remote runtime)
         float(jax.tree.leaves(state.params)[0].ravel()[0])
         return time.perf_counter() - t0
 
@@ -55,16 +162,25 @@ def main():
     t_large = run(60)
     dt = max((t_large - t_small) / 50, 1e-9)
 
-    rays_per_sec = config.train_rays_per_batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-            }
+    flops = None
+    try:
+        cost = step_fn.lower(state, data, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if flops:
+        mfu = flops / dt / MEASURED_BF16_PEAK_FLOPS * 100.0
+        _emit(
+            "train_step_mfu_pct", round(mfu, 2), "%",
+            step_tflops=round(flops / 1e12, 4),
         )
+
+    rays_per_sec = config.train_rays_per_batch / dt
+    _emit(
+        "train_rays_per_sec", round(rays_per_sec, 1), "rays/s",
+        vs_baseline=round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
     )
 
 

@@ -12,6 +12,25 @@ from scipy.spatial import cKDTree
 
 
 def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """[N,3] -> labels [N] int32 (-1 = noise).
+
+    Dispatch: export-scale clouds go to the device (TPU) engine
+    (counting/dbscan_device.py) — the quadratic neighbor math as batched XLA;
+    small clouds use the numpy grid engine (counting/gridhash.py). Both are
+    exact; this BFS version remains the reference implementation and the
+    fallback for degenerate coordinate spreads."""
+    if len(points) >= 50_000:
+        from .dbscan_device import dbscan_device
+
+        labels = dbscan_device(points, eps, min_samples)
+        if labels is not None:
+            return labels
+    from .gridhash import dbscan_grid
+
+    return dbscan_grid(points, eps, min_samples)
+
+
+def dbscan_bfs(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """[N,3] -> labels [N] int32 (-1 = noise)."""
     n = len(points)
     labels = np.full(n, -1, np.int32)

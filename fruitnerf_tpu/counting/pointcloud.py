@@ -32,8 +32,15 @@ def radius_outlier_removal(
     matching open3d remove_radius_outlier semantics."""
     if len(points) == 0:
         return points
-    tree = cKDTree(points)
-    counts = tree.query_ball_point(points, radius, return_length=True, workers=-1)
+    if len(points) >= 50_000:
+        from .dbscan_device import radius_neighbor_mask_device
+
+        mask = radius_neighbor_mask_device(points, radius, nb_points)
+        if mask is not None:
+            return points[mask]
+    from .gridhash import neighbor_counts
+
+    counts = neighbor_counts(points, radius)
     return points[counts >= nb_points]
 
 

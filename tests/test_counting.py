@@ -63,6 +63,46 @@ def test_dbscan_noise_label():
     assert labels[-1] == -1
 
 
+def test_dbscan_engines_agree_with_bfs_reference():
+    """The grid (numpy) and device (XLA) DBSCAN engines are exact: same noise
+    set, same core labels as the BFS reference implementation, and the same
+    neighbor counts as a cKDTree, on random clouds."""
+    from scipy.spatial import cKDTree
+
+    from fruitnerf_tpu.counting.dbscan import dbscan_bfs
+    from fruitnerf_tpu.counting.dbscan_device import (
+        dbscan_device,
+        neighbor_counts_device,
+        radius_neighbor_mask_device,
+    )
+    from fruitnerf_tpu.counting.gridhash import dbscan_grid, neighbor_counts
+
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        n = rng.randint(100, 2500)
+        pts = (rng.randn(n, 3) * rng.uniform(0.05, 1.5) + rng.randn(3)).astype(
+            np.float32
+        )
+        eps = rng.uniform(0.05, 0.4)
+        ms = rng.randint(2, 20)
+        ref = dbscan_bfs(pts, eps, ms)
+        counts_ref = cKDTree(pts).query_ball_point(
+            pts, eps, return_length=True, workers=-1
+        )
+        core = counts_ref >= ms
+        for impl in (dbscan_grid, dbscan_device):
+            lab = impl(pts, eps, ms)
+            assert ((lab == -1) == (ref == -1)).all(), (trial, impl.__name__)
+            assert (lab[core] == ref[core]).all(), (trial, impl.__name__)
+        np.testing.assert_array_equal(neighbor_counts(pts, eps), counts_ref)
+        np.testing.assert_array_equal(
+            neighbor_counts_device(pts, eps), counts_ref
+        )
+        np.testing.assert_array_equal(
+            radius_neighbor_mask_device(pts, eps, ms), core
+        )
+
+
 def test_umeyama_recovers_similarity():
     rng = np.random.RandomState(0)
     src = rng.rand(200, 3)
@@ -203,3 +243,33 @@ def test_reference_profiles_importable():
     assert ALL_PROFILES["mango"].gt_count == 1150
     assert ALL_PROFILES["fuji"].gt_count == 1455
     assert ALL_PROFILES["tree_02"].template_size == 1.9
+
+
+def test_profile_matrix_complete():
+    """Every published evaluation row exists with its exact hyperparameters
+    (config_synthetic.py: 12, config_real.py: 16)."""
+    from fruitnerf_tpu.counting.profiles import (
+        REAL_PROFILES,
+        SYNTHETIC_PROFILES,
+    )
+
+    assert len(SYNTHETIC_PROFILES) == 12
+    # 16 reference rows + 4 round-1 aliases
+    assert len(REAL_PROFILES) == 20
+    # quirks from the reference configs
+    plum = SYNTHETIC_PROFILES["plum"]
+    assert plum.template == "apple" and plum.template_size == 0.35
+    mango = SYNTHETIC_PROFILES["mango"]
+    assert mango.template == "apple" and mango.template_size == 0.3
+    assert mango.cluster_merge_distance == 0.01 and mango.min_samples == 70
+    peach = SYNTHETIC_PROFILES["peach"]
+    assert peach.min_samples == 70 and peach.template_size == 1.2
+    # tree_02 nb_points vary per mask source (config_real.py:66-125)
+    assert REAL_PROFILES["tree_02_sam"].remove_outliers_nb_points == 65
+    assert REAL_PROFILES["tree_02_sam_big"].remove_outliers_nb_points == 70
+    assert REAL_PROFILES["tree_02_unet"].remove_outliers_nb_points == 50
+    # fuji sam rows widen the outlier radius (config_real.py:224,243)
+    assert REAL_PROFILES["fuji_sam"].remove_outliers_radius == 0.03
+    assert REAL_PROFILES["fuji_unet"].remove_outliers_radius == 0.025
+    for prof in {**SYNTHETIC_PROFILES, **REAL_PROFILES}.values():
+        assert prof.gt_count and prof.down_sample == 0.001
