@@ -13,7 +13,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from .fields.density_field import DensityFieldConfig
-from .fields.encodings import HashEncodingConfig
+from .fields.encodings import GridEncodingConfig, HashEncodingConfig
 from .fields.freq_density_field import FreqDensityFieldConfig
 from .fields.fruit_field import FruitFieldConfig
 from .models.fruit_model import FruitModelConfig
@@ -76,13 +76,19 @@ def _field(num_images: int, **kw) -> FruitFieldConfig:
     return FruitFieldConfig(num_images=num_images, **kw)
 
 
+def _encoding_for(variant: str) -> str:
+    return {"tpu": "freq", "grid": "grid", "parity": "hash"}.get(variant, "hash")
+
+
 def fruit_nerf(
-    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "grid"
 ) -> TrainConfig:
     """Base preset (fruit_nerf_config.py:28-58): 30k iters, 4096 rays/batch.
 
-    variant="tpu" (default): cell-packed hash + freq-MLP proposals (fast path)
-    variant="parity": corner-mode hash + HashMLPDensityField proposals,
+    variant="grid" (default): Pallas small-table MXU hash grid main field +
+      freq-MLP proposals — instant-ngp semantics at TPU-trainable speed.
+    variant="tpu": frequency-encoded main field (round-1 flagship, no table).
+    variant="parity": corner-mode XLA hash + HashMLPDensityField proposals,
       structurally matching the reference's tcnn/nerfacto stack.
     """
     field = _field(
@@ -91,7 +97,10 @@ def fruit_nerf(
             num_levels=16, log2_hashmap_size=19, base_res=16, max_res=2048,
             mode="cell" if variant == "tpu" else "corner",
         ),
-        encoding="freq" if variant == "tpu" else "hash",
+        grid=GridEncodingConfig(
+            num_levels=16, table_size=8192, base_res=16, max_res=2048
+        ),
+        encoding=_encoding_for(variant),
         pos_frequencies=12,
         hidden_dim=64,
         geo_feat_dim=15,
@@ -101,13 +110,16 @@ def fruit_nerf(
         compute_dtype=compute_dtype,
     )
     model = FruitModelConfig(field=field)
-    if variant == "tpu":
+    if variant in ("tpu", "grid"):
         model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
-    extra = (
-        dict(fields_opt=TPU_MLP_OPT, proposal_opt=TPU_MLP_OPT)
-        if variant == "tpu"
-        else {}
-    )
+    if variant == "tpu":
+        extra = dict(fields_opt=TPU_MLP_OPT, proposal_opt=TPU_MLP_OPT)
+    elif variant == "grid":
+        # grid tables want the reference's sparse-update rate (1e-2,
+        # fruit_nerf_config.py:47-56); the freq proposal MLPs keep theirs
+        extra = dict(proposal_opt=TPU_MLP_OPT)
+    else:
+        extra = {}
     return TrainConfig(
         preset="fruit_nerf",
         model=model,

@@ -254,6 +254,100 @@ def _hash_encode_cell_wide(
 
 
 # ---------------------------------------------------------------------------
+# Pallas small-table MXU grid (the trainable-on-TPU hash grid; see
+# ops/pallas/hash_grid.py for the kernel design and cost model)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridEncodingConfig:
+    """Config for the Pallas small-table grid encoding.
+
+    Same multiresolution geometry as HashEncodingConfig (instant-ngp levels,
+    fruit_field.py:77-84) but with a VMEM-resident table: ``table_size`` is
+    deliberately small (2^13 vs the reference's 2^19-2^21) because the MXU
+    formulation costs 16*F*T FLOPs per (point, level) — capacity trades
+    linearly against step time, and is validated by PSNR (configs variant
+    "grid")."""
+
+    num_levels: int = 16
+    features_per_level: int = 2
+    table_size: int = 8192  # must be a multiple of 128 (the hi-radix width)
+    base_res: int = 16
+    max_res: int = 2048
+    # "cell": one lookup per (point, level), 8 corner features packed in one
+    #   row — the fast path (C0 seams at cell faces, sub-voxel at fine
+    #   levels). "corner": exact instant-ngp trilinear sharing, ~2x slower.
+    mode: str = "cell"
+    needs_pos_grad: bool = True  # camera-opt gradients flow through positions
+    block_points: int = 1024
+
+    @property
+    def row_width(self) -> int:
+        from ..ops.pallas.hash_grid import HI
+
+        per_row = (
+            self.features_per_level if self.mode == "corner"
+            else 8 * self.features_per_level
+        )
+        return per_row * self.table_size // HI
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @property
+    def growth_factor(self) -> float:
+        if self.num_levels == 1:
+            return 1.0
+        return math.exp(
+            (math.log(self.max_res) - math.log(self.base_res))
+            / (self.num_levels - 1)
+        )
+
+    def level_resolutions(self) -> tuple[int, ...]:
+        g = self.growth_factor
+        return tuple(
+            int(math.floor(self.base_res * (g**lvl)))
+            for lvl in range(self.num_levels)
+        )
+
+
+def init_grid_table(key: jax.Array, config: GridEncodingConfig) -> jnp.ndarray:
+    """[L, 128, row_width] kernel-layout table, uniform(-1e-4, 1e-4)."""
+    from ..ops.pallas.hash_grid import HI
+
+    shape = (config.num_levels, HI, config.row_width)
+    return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
+
+
+def grid_encode(
+    table: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: GridEncodingConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """positions [..., 3] in [0,1]^3 -> features [..., L*F] via the Pallas
+    small-table kernel (trilinear, corner semantics)."""
+    from ..ops.pallas.hash_grid import grid_encode_flat
+
+    batch_shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3)
+    out = grid_encode_flat(
+        table,
+        pos,
+        config.level_resolutions(),
+        config.table_size,
+        config.features_per_level,
+        config.mode,
+        jnp.dtype(compute_dtype).name,
+        config.needs_pos_grad,
+        config.block_points,
+    )
+    return out.reshape(*batch_shape, config.out_dim)
+
+
+# ---------------------------------------------------------------------------
 # Spherical harmonics (degree 4 -> 16 components), for view directions
 # ---------------------------------------------------------------------------
 

@@ -21,8 +21,11 @@ import jax.numpy as jnp
 
 from ..core.math import contract_to_unit, normalize_aabb_to_unit, trunc_exp
 from .encodings import (
+    GridEncodingConfig,
     HashEncodingConfig,
+    grid_encode,
     hash_encode,
+    init_grid_table,
     init_hash_table,
     nerf_encode,
     sh_encode,
@@ -34,12 +37,16 @@ from .mlp import MLPConfig, apply_mlp, apply_mlp_fast, init_mlp
 class FruitFieldConfig:
     num_images: int
     hash: HashEncodingConfig = HashEncodingConfig()
+    grid: GridEncodingConfig = GridEncodingConfig()
     # "hash": instant-ngp multires grid (reference parity; corner or cell mode
     #   per hash.mode). "freq": MXU-native octave frequency encoding — the TPU
     #   fast path: on v5e, XLA's narrow random gathers (~300M rows/s) and
     #   scatter-adds (~8M rows/s) make big hash tables memory-bound, while the
     #   MXU turns an equivalent parameter budget of matmul FLOPs into ~free
     #   compute (measured: freq field fwd+bwd ~5ms/1M pts vs hash ~420ms).
+    # "grid": the trainable-on-TPU hash grid — Pallas small-table MXU kernel
+    #   (ops/pallas/hash_grid.py); instant-ngp trilinear corner semantics
+    #   with a VMEM-resident table.
     encoding: str = "hash"
     pos_frequencies: int = 12  # freq encoding octaves
     num_layers_base: int = 2
@@ -60,14 +67,16 @@ class FruitFieldConfig:
     def base_in_dim(self) -> int:
         if self.encoding == "freq":
             return 3 + 3 * 2 * self.pos_frequencies
+        if self.encoding == "grid":
+            return self.grid.out_dim
         return self.hash.out_dim
 
     @property
     def base_num_layers(self) -> int:
         # a frequency MLP needs depth to make up for the missing grid capacity
-        return self.num_layers_base if self.encoding == "hash" else max(
-            self.num_layers_base, 4
-        )
+        if self.encoding == "freq":
+            return max(self.num_layers_base, 4)
+        return self.num_layers_base
 
     @property
     def base_mlp(self) -> MLPConfig:
@@ -110,12 +119,13 @@ class FruitFieldConfig:
 
 def init_fruit_field(key: jax.Array, config: FruitFieldConfig) -> dict[str, Any]:
     k = jax.random.split(key, 6)
+    enc_params = {}
+    if config.encoding == "hash":
+        enc_params["hash_table"] = init_hash_table(k[0], config.hash)
+    elif config.encoding == "grid":
+        enc_params["grid_table"] = init_grid_table(k[0], config.grid)
     return {
-        **(
-            {"hash_table": init_hash_table(k[0], config.hash)}
-            if config.encoding == "hash"
-            else {}
-        ),
+        **enc_params,
         "base_mlp": init_mlp(k[1], config.base_mlp),
         "color_mlp": init_mlp(k[2], config.color_mlp),
         "semantic_mlp": init_mlp(k[3], config.semantic_mlp),
@@ -145,6 +155,8 @@ def get_density(
         pos01, selector = normalize_aabb_to_unit(positions, aabb)
     if config.encoding == "hash":
         h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
+    elif config.encoding == "grid":
+        h = grid_encode(params["grid_table"], pos01, config.grid, config.compute_dtype)
     else:
         h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
     out = apply_mlp_fast(params["base_mlp"], h, config.base_mlp, config.compute_dtype)

@@ -19,7 +19,8 @@ import numpy as np
 def add_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="fruit_nerf",
                    help="fruit_nerf | fruit_nerf_big | fruit_nerf_huge | fruit_nerf_smoke")
-    p.add_argument("--variant", default="tpu", choices=["tpu", "parity"])
+    p.add_argument("--variant", default="grid",
+                   choices=["grid", "tpu", "parity"])
     p.add_argument("--data", required=True,
                    help="dataset dir with transforms.json, or 'synthetic'")
     p.add_argument("--output-dir", required=True)

@@ -1,0 +1,153 @@
+"""Pallas small-table grid encoding: kernels (interpret mode) vs the XLA
+oracles, forward and backward (dTable + dPositions), both modes."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fruitnerf_tpu.fields.encodings import (
+    GridEncodingConfig,
+    grid_encode,
+    init_grid_table,
+)
+from fruitnerf_tpu.ops.pallas.hash_grid import (
+    grid_encode_cell_ref,
+    grid_encode_ref,
+)
+
+CORNER = GridEncodingConfig(
+    num_levels=4, features_per_level=2, table_size=512, base_res=4,
+    max_res=64, mode="corner",
+)
+CELL = dataclasses.replace(CORNER, mode="cell")
+
+
+def _setup(cfg, seed=0, n=200):
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    table = init_grid_table(k1, cfg) * 1e4  # O(1) entries for visible grads
+    pos = jax.random.uniform(k2, (n, 3), jnp.float32, 0.01, 0.99)
+    return table, pos
+
+
+def _oracle(cfg):
+    ref = grid_encode_ref if cfg.mode == "corner" else grid_encode_cell_ref
+    return lambda t, p: ref(
+        t, p, cfg.level_resolutions(), cfg.table_size, cfg.features_per_level
+    )
+
+
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+def test_forward_matches_oracle(cfg):
+    table, pos = _setup(cfg)
+    out = grid_encode(table, pos, cfg, compute_dtype=jnp.float32)
+    ref = _oracle(cfg)(table, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    assert out.shape == (pos.shape[0], cfg.out_dim)
+
+
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+def test_forward_batch_shape_and_padding(cfg):
+    table, pos = _setup(cfg, n=37)  # forces padding to block_points
+    out = grid_encode(table, pos.reshape(37, 1, 3), cfg, jnp.float32)
+    assert out.shape == (37, 1, cfg.out_dim)
+    ref = _oracle(cfg)(table, pos)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(37, -1)), np.asarray(ref), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+def test_grads_match_oracle(cfg):
+    table, pos = _setup(cfg, n=150)
+    oracle = _oracle(cfg)
+
+    def loss_kernel(t, p):
+        out = grid_encode(t, p, cfg, compute_dtype=jnp.float32)
+        return jnp.sum(jnp.sin(out) * out)
+
+    def loss_ref(t, p):
+        out = oracle(t, p)
+        return jnp.sum(jnp.sin(out) * out)
+
+    (dt_k, dp_k) = jax.grad(loss_kernel, argnums=(0, 1))(table, pos)
+    (dt_r, dp_r) = jax.grad(loss_ref, argnums=(0, 1))(table, pos)
+    np.testing.assert_allclose(np.asarray(dt_k), np.asarray(dt_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dp_k), np.asarray(dp_r),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_pos_grad_skippable():
+    cfg = dataclasses.replace(CELL, needs_pos_grad=False)
+    table, pos = _setup(cfg, n=64)
+    dp = jax.grad(
+        lambda p: jnp.sum(grid_encode(table, p, cfg, jnp.float32))
+    )(pos)
+    assert np.allclose(np.asarray(dp), 0.0)
+
+
+def test_direct_vs_hashed_levels():
+    # base_res 4 at table 512: (4+1)^3=125 <= 512 -> direct; finer levels hash
+    res = CORNER.level_resolutions()
+    assert (res[0] + 1) ** 3 <= CORNER.table_size
+    assert (res[-1] + 1) ** 3 > CORNER.table_size
+
+
+def test_trilinear_interpolation_exact():
+    """A table that is linear in one corner axis must reproduce the fraction."""
+    cfg = GridEncodingConfig(
+        num_levels=1, features_per_level=2, table_size=512, base_res=4,
+        max_res=4, mode="corner",
+    )
+    # direct indexing level: row t = x + y*5 + z*25; fill f0 with x-coordinate
+    from fruitnerf_tpu.ops.pallas.hash_grid import HI
+
+    lo = cfg.table_size // HI
+    rows = np.zeros((cfg.table_size, 2), np.float32)
+    for t in range(125):
+        rows[t, 0] = t % 5  # x coordinate
+        rows[t, 1] = 1.0
+    # pack to kernel layout [HI, F*LO] (f-major)
+    packed = rows.reshape(HI, lo, 2).transpose(0, 2, 1).reshape(HI, 2 * lo)
+    table = jnp.asarray(packed)[None]
+    pos = jnp.array([[0.3, 0.1, 0.2], [0.62, 0.4, 0.9]], jnp.float32)
+    out = grid_encode(table, pos, cfg, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out[:, 0]),
+                               np.asarray(pos[:, 0] * 4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 1.0, atol=1e-5)
+
+
+def test_cell_trilinear_exact():
+    """Cell rows whose 8 corner slots are linear in x reproduce the fraction."""
+    cfg = GridEncodingConfig(
+        num_levels=1, features_per_level=2, table_size=256, base_res=4,
+        max_res=4, mode="cell",
+    )
+    from fruitnerf_tpu.ops.pallas.hash_grid import HI
+
+    clo = cfg.table_size // HI
+    rows = np.zeros((cfg.table_size, 8, 2), np.float32)
+    for t in range(64):  # cells of the 4^3 grid, direct indexed
+        x = t % 4
+        for c in range(8):
+            cx = (c >> 2) & 1
+            rows[t, c, 0] = x + cx  # corner x coordinate
+            rows[t, c, 1] = 1.0
+    packed = rows.reshape(HI, clo * 16)
+    table = jnp.asarray(packed)[None]
+    pos = jnp.array([[0.3, 0.1, 0.2], [0.62, 0.4, 0.9]], jnp.float32)
+    out = grid_encode(table, pos, cfg, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out[:, 0]),
+                               np.asarray(pos[:, 0] * 4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [1, 1023, 1025])
+def test_odd_sizes(n):
+    table, pos = _setup(CORNER, n=n)
+    out = grid_encode(table, pos, CORNER, jnp.float32)
+    ref = _oracle(CORNER)(table, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
