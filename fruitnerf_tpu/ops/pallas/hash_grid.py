@@ -139,9 +139,30 @@ def _sel_matrices(lo_size, features, cdt, bp):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(lo_size, features, table_size, cdt,
+def _placement(acc, lvl, num_levels, features):
+    """acc [BP, F] -> [BP, L*F] with acc placed at lanes lvl*F..lvl*F+F via a
+    tiny matmul against an iota-built one-hot (dynamic lane writes and
+    [L, P, F] plane outputs both lose: the former is unsupported, the latter
+    lane-pads 64x in HBM -> OOM at eval chunk sizes)."""
+    lf = num_levels * features
+    erow = jax.lax.broadcasted_iota(jnp.int32, (features, lf), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (features, lf), 1)
+    e_put = (ecol == lvl * features + erow).astype(jnp.float32)
+    return jnp.dot(acc, e_put, preferred_element_type=jnp.float32)
+
+
+def _extract(g, lvl, num_levels, features):
+    """g [BP, L*F] -> [BP, F], the lvl-th F-lane group, via a tiny matmul."""
+    lf = num_levels * features
+    erow = jax.lax.broadcasted_iota(jnp.int32, (lf, features), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (lf, features), 1)
+    e_get = (erow == lvl * features + ecol).astype(jnp.float32)
+    return jnp.dot(g, e_get, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(lo_size, features, table_size, num_levels, cdt,
                 res_ref, direct_ref, pos_ref, tbl_ref, out_ref):
-    lvl = pl.program_id(0)
+    lvl = pl.program_id(1)
     res = res_ref[lvl]
     use_direct = direct_ref[lvl]
 
@@ -165,21 +186,35 @@ def _fwd_kernel(lo_size, features, table_size, cdt,
         d = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
         sel = lo_of_lane == lo8[:, c : c + 1]
         acc_wide = acc_wide + jnp.where(sel, w8[:, c : c + 1] * d, 0.0)
-    out_ref[0] = jnp.dot(
+    acc = jnp.dot(
         acc_wide.astype(cdt), r_mat, preferred_element_type=jnp.float32
     )
+    out = _placement(acc, lvl, num_levels, features)
+
+    @pl.when(lvl == 0)
+    def _init():
+        out_ref[:] = out
+
+    @pl.when(lvl != 0)
+    def _accum():
+        out_ref[:] += out
 
 
-def _bwd_kernel(lo_size, features, table_size, cdt, needs_pos_grad,
+def _bwd_kernel(lo_size, features, table_size, num_levels, cdt,
+                needs_pos_grad,
                 res_ref, direct_ref, pos_ref, g_ref, tbl_ref,
                 dtbl_ref, dpos_ref):
-    lvl = pl.program_id(0)
-    i_blk = pl.program_id(1)
+    i_blk = pl.program_id(0)
+    lvl = pl.program_id(1)
     res = res_ref[lvl]
     use_direct = direct_ref[lvl]
 
+    @pl.when((i_blk == 0) & (lvl == 0))
+    def _zero():
+        dtbl_ref[:] = jnp.zeros_like(dtbl_ref)
+
     pos = pos_ref[:].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)  # [BP, F]
+    g = _extract(g_ref[:].astype(jnp.float32), lvl, num_levels, features)
     bp = pos.shape[0]
     idx, frac, (wx, wy, wz) = _corner_indices(pos, res, res + 1, use_direct,
                                               table_size)
@@ -227,20 +262,24 @@ def _bwd_kernel(lo_size, features, table_size, cdt, needs_pos_grad,
             dty = dty + gy8[:, c : c + 1] * s
             dtz = dtz + gz8[:, c : c + 1] * s
 
-    @pl.when(i_blk == 0)
-    def _init():
-        dtbl_ref[0] = dtbl_acc
-
-    @pl.when(i_blk != 0)
-    def _accum():
-        dtbl_ref[0] += dtbl_acc
+    dtbl_ref[lvl] += dtbl_acc
 
     if needs_pos_grad:
-        dpos_ref[0] = jnp.concatenate([dtx, dty, dtz], axis=1) * res.astype(
+        dpos = jnp.concatenate([dtx, dty, dtz], axis=1) * res.astype(
             jnp.float32
         )
+
+        @pl.when(lvl == 0)
+        def _init():
+            dpos_ref[:] = dpos
+
+        @pl.when(lvl != 0)
+        def _accum():
+            dpos_ref[:] += dpos
     else:
-        dpos_ref[0] = jnp.zeros((bp, 3), jnp.float32)
+        @pl.when(lvl == 0)
+        def _zinit():
+            dpos_ref[:] = jnp.zeros((bp, 3), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -282,9 +321,9 @@ def _cell_coords(pos, res, use_direct, table_cells):
     return idx, frac
 
 
-def _cell_fwd_kernel(clo, table_cells, cdt,
+def _cell_fwd_kernel(clo, table_cells, num_levels, cdt,
                      res_ref, direct_ref, pos_ref, tbl_ref, out_ref):
-    lvl = pl.program_id(0)
+    lvl = pl.program_id(1)
     res = res_ref[lvl]
     use_direct = direct_ref[lvl]
 
@@ -307,20 +346,33 @@ def _cell_fwd_kernel(clo, table_cells, cdt,
     wx, wy, wz = _corner_weights(frac, cx, cy, cz)
     w_rep = jnp.dot(wx * wy * wz, k_mat,
                     preferred_element_type=jnp.float32)  # [BP, 16]
-    out_ref[0] = jnp.dot(rows16 * w_rep, m2,
-                         preferred_element_type=jnp.float32)  # [BP, 2]
+    acc = jnp.dot(rows16 * w_rep, m2,
+                  preferred_element_type=jnp.float32)  # [BP, 2]
+    out = _placement(acc, lvl, num_levels, 2)
+
+    @pl.when(lvl == 0)
+    def _init():
+        out_ref[:] = out
+
+    @pl.when(lvl != 0)
+    def _accum():
+        out_ref[:] += out
 
 
-def _cell_bwd_kernel(clo, table_cells, cdt, needs_pos_grad,
+def _cell_bwd_kernel(clo, table_cells, num_levels, cdt, needs_pos_grad,
                      res_ref, direct_ref, pos_ref, g_ref, tbl_ref,
                      dtbl_ref, dpos_ref):
-    lvl = pl.program_id(0)
-    i_blk = pl.program_id(1)
+    i_blk = pl.program_id(0)
+    lvl = pl.program_id(1)
     res = res_ref[lvl]
     use_direct = direct_ref[lvl]
 
+    @pl.when((i_blk == 0) & (lvl == 0))
+    def _zero():
+        dtbl_ref[:] = jnp.zeros_like(dtbl_ref)
+
     pos = pos_ref[:].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)  # [BP, 2]
+    g = _extract(g_ref[:].astype(jnp.float32), lvl, num_levels, 2)
     bp = pos.shape[0]
     idx, frac = _cell_coords(pos, res, use_direct, table_cells)
     hi = idx >> _log2(clo)
@@ -349,13 +401,7 @@ def _cell_bwd_kernel(clo, table_cells, cdt, needs_pos_grad,
         oh, de, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    @pl.when(i_blk == 0)
-    def _init():
-        dtbl_ref[0] = dtbl_acc
-
-    @pl.when(i_blk != 0)
-    def _accum():
-        dtbl_ref[0] += dtbl_acc
+    dtbl_ref[lvl] += dtbl_acc
 
     if needs_pos_grad:
         d = jnp.dot(oh, tbl_ref[0].astype(cdt),
@@ -374,11 +420,21 @@ def _cell_bwd_kernel(clo, table_cells, cdt, needs_pos_grad,
         dtx = jnp.sum(gx8 * dw8, axis=1, keepdims=True)
         dty = jnp.sum(gy8 * dw8, axis=1, keepdims=True)
         dtz = jnp.sum(gz8 * dw8, axis=1, keepdims=True)
-        dpos_ref[0] = jnp.concatenate([dtx, dty, dtz], axis=1) * res.astype(
+        dpos = jnp.concatenate([dtx, dty, dtz], axis=1) * res.astype(
             jnp.float32
         )
+
+        @pl.when(lvl == 0)
+        def _init():
+            dpos_ref[:] = dpos
+
+        @pl.when(lvl != 0)
+        def _accum():
+            dpos_ref[:] += dpos
     else:
-        dpos_ref[0] = jnp.zeros((bp, 3), jnp.float32)
+        @pl.when(lvl == 0)
+        def _zinit():
+            dpos_ref[:] = jnp.zeros((bp, 3), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -424,33 +480,33 @@ def _fwd_impl(table, positions, resolutions, table_size, features, mode,
 
     if mode == "corner":
         kern = functools.partial(_fwd_kernel, lo_size, features, table_size,
-                                 cdt)
+                                 num_levels, cdt)
     else:
-        kern = functools.partial(_cell_fwd_kernel, lo_size, table_size, cdt)
+        kern = functools.partial(_cell_fwd_kernel, lo_size, table_size,
+                                 num_levels, cdt)
 
-    # Mosaic wants trailing block dims of 128 (or full): emit [L, P, F]
-    # per-level planes and fold to the level-major [P, L*F] outside.
+    # natural [P, L*F] output, accumulated across the fast level axis of the
+    # grid (a [L, P, F] plane layout lane-pads 64x in HBM -> OOMs at eval
+    # chunk sizes; Mosaic rejects (BP, F) trailing blocks)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(
-            (num_levels, posp.shape[0], features), jnp.float32
+            (posp.shape[0], num_levels * features), jnp.float32
         ),
-        grid=(num_levels, nb),
+        grid=(nb, num_levels),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_points, 3), lambda l, i: (i, 0)),
-            pl.BlockSpec((1, HI, width), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((block_points, 3), lambda i, l: (i, 0)),
+            pl.BlockSpec((1, HI, width), lambda i, l: (l, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_points, features), lambda l, i: (l, i, 0)
+            (block_points, num_levels * features), lambda i, l: (i, 0)
         ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(res_arr, direct_arr, posp, table)
-    return (
-        jnp.transpose(out[:, :p, :], (1, 0, 2)).reshape(p, num_levels * features)
-    )
+    return out[:p]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -480,51 +536,41 @@ def _bwd_vjp(resolutions, table_size, features, mode, compute_dtype_name,
     # block cost ~30% bwd time)
     res_arr, direct_arr = _smem_level_arrays(resolutions, table_size, mode)
     posp, p = _pad_points(positions.astype(jnp.float32), block_points)
-    # reshape level-major cotangent [P, L*F] to per-level planes [L, P, F]
-    gl = jnp.transpose(
-        g.astype(jnp.float32).reshape(-1, num_levels, features), (1, 0, 2)
-    )
-    pad = posp.shape[0] - p
-    if pad:
-        gl = jnp.pad(gl, ((0, 0), (0, pad), (0, 0)))
+    gp, _ = _pad_points(g.astype(jnp.float32), block_points)
     nb = posp.shape[0] // block_points
     width = _row_width(table_size, features, mode)
 
     if mode == "corner":
         kern = functools.partial(_bwd_kernel, lo_size, features, table_size,
-                                 cdt, needs_pos_grad)
+                                 num_levels, cdt, needs_pos_grad)
     else:
-        kern = functools.partial(_cell_bwd_kernel, lo_size, table_size, cdt,
-                                 needs_pos_grad)
+        kern = functools.partial(_cell_bwd_kernel, lo_size, table_size,
+                                 num_levels, cdt, needs_pos_grad)
 
-    dtable, dpos_planes = pl.pallas_call(
+    dtable, dpos = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(table.shape, jnp.float32),
-            jax.ShapeDtypeStruct(
-                (num_levels, posp.shape[0], 3), jnp.float32
-            ),
+            jax.ShapeDtypeStruct(posp.shape, jnp.float32),
         ),
-        grid=(num_levels, nb),
+        grid=(nb, num_levels),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_points, 3), lambda l, i: (i, 0)),
-            pl.BlockSpec((1, block_points, features), lambda l, i: (l, i, 0)),
-            pl.BlockSpec((1, HI, width), lambda l, i: (l, 0, 0)),
+            pl.BlockSpec((block_points, 3), lambda i, l: (i, 0)),
+            pl.BlockSpec(
+                (block_points, num_levels * features), lambda i, l: (i, 0)
+            ),
+            pl.BlockSpec((1, HI, width), lambda i, l: (l, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, HI, width), lambda l, i: (l, 0, 0)),
-            pl.BlockSpec((1, block_points, 3), lambda l, i: (l, i, 0)),
+            pl.BlockSpec(table.shape, lambda i, l: (0, 0, 0)),
+            pl.BlockSpec((block_points, 3), lambda i, l: (i, 0)),
         ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
-    )(res_arr, direct_arr, posp, gl, table)
-    if needs_pos_grad:
-        dpos = jnp.sum(dpos_planes, axis=0)[:p]
-    else:
-        dpos = jnp.zeros((p, 3), jnp.float32)
-    return dtable, dpos
+    )(res_arr, direct_arr, posp, gp, table)
+    return dtable, dpos[:p]
 
 
 grid_encode_flat.defvjp(_fwd_vjp, _bwd_vjp)
