@@ -16,7 +16,9 @@ so single-line parsers keep reading the round-1-comparable number):
                          counting/dbscan_device.py)
   train_step_mfu_pct     XLA-reported train-step FLOPs / wall-time, as % of
                          the measured 170 TFLOP/s bf16 peak (NOTES_ROUND2)
-  train_rays_per_sec     fused train-step throughput, flagship preset
+  train_rays_per_sec_grid  same, for the grid flagship (Pallas hash-grid
+                         kernel main field — the quality variant)
+  train_rays_per_sec     fused train-step throughput, tpu (freq) variant
                          (vs ~136,533 rays/s = reference 30k x 4096 in 15min,
                          README.md:195)
 
@@ -107,7 +109,9 @@ def main():
         SyntheticSceneConfig(num_fruits=6, num_cameras=24, image_size=128, num_leaves=20)
     )
     data = dataset_from_scene(scene)
-    config = fruit_nerf(num_images=data.cameras.num_cameras)
+    # "tpu" (freq) stays the round-comparable speed row; the grid flagship
+    # (Pallas hash-grid kernel, the quality variant) gets its own row below
+    config = fruit_nerf(num_images=data.cameras.num_cameras, variant="tpu")
     config = dataclasses.replace(config, train_rays_per_batch=4096)
 
     key = jax.random.key(0, impl="rbg")
@@ -176,6 +180,32 @@ def main():
             "train_step_mfu_pct", round(mfu, 2), "%",
             step_tflops=round(flops / 1e12, 4),
         )
+
+    # ---- grid-variant train throughput (the quality flagship) -------------
+    gconfig = fruit_nerf(num_images=data.cameras.num_cameras, variant="grid")
+    gconfig = dataclasses.replace(gconfig, train_rays_per_batch=4096)
+    gstate = init_train_state(
+        jax.random.PRNGKey(0), gconfig, data.cameras.num_cameras
+    )
+    gstep_fn = make_train_step(gconfig)
+
+    def grun(n):
+        nonlocal gstate
+        t0 = time.perf_counter()
+        for _ in range(n):
+            gstate, _ = gstep_fn(gstate, data, key)
+        float(jax.tree.leaves(gstate.params)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    grun(3)
+    gt_small = grun(5)
+    gt_large = grun(30)
+    gdt = max((gt_large - gt_small) / 25, 1e-9)
+    grays = gconfig.train_rays_per_batch / gdt
+    _emit(
+        "train_rays_per_sec_grid", round(grays, 1), "rays/s",
+        vs_baseline=round(grays / BASELINE_RAYS_PER_SEC, 3),
+    )
 
     rays_per_sec = config.train_rays_per_batch / dt
     _emit(

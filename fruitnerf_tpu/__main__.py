@@ -7,6 +7,8 @@ Commands mirror the reference's console scripts (pyproject.toml:24-32):
   process-data  ns-process-fruit-data fruit (mask ingestion)
   render        offline eval-camera render (debug/render.py analog)
   eval          ns-eval analog: averaged full-eval-set metrics
+  orchard-e2e   reference-scale synthetic validation (train->export->count)
+  suggest-crop  crop-box discovery (offline analog of the viewer workflow)
 """
 from __future__ import annotations
 
@@ -14,6 +16,8 @@ import argparse
 import sys
 
 from .scripts import count as count_cmd
+from .scripts import orchard_e2e as orchard_cmd
+from .scripts import suggest_crop as crop_cmd
 from .scripts import evaluate as eval_cmd
 from .scripts import export as export_cmd
 from .scripts import process_data as process_cmd
@@ -27,6 +31,8 @@ COMMANDS = {
     "process-data": process_cmd,
     "render": render_cmd,
     "eval": eval_cmd,
+    "orchard-e2e": orchard_cmd,
+    "suggest-crop": crop_cmd,
 }
 
 

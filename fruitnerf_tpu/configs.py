@@ -38,6 +38,7 @@ class OptimizerConfig:
     eps: float = 1e-15
     max_steps: int | None = None  # None -> train max_iters
     warmup_steps: int = 0  # lr held at 0 until this step
+    weight_decay: float = 0.0  # decoupled (adamw-style), applied post-Adam
 
 # The reference's lr=1e-2 (fruit_nerf_config.py:47-56) is tuned for sparse
 # per-entry hash-table updates; on the tpu variant's shared frequency MLPs it
@@ -58,6 +59,14 @@ class TrainConfig:
     steps_per_log: int = 100
     fields_opt: OptimizerConfig = OptimizerConfig()
     proposal_opt: OptimizerConfig = OptimizerConfig()
+    # appearance embeddings get their own group: at the fields group's rate
+    # they drift far from their mean over 30k steps, and eval (which uses
+    # the MEAN embedding, fruit_field.py:249-260) renders out-of-distribution
+    # — the round-1 ~4dB eval/train gap. Lower lr + decoupled weight decay
+    # keeps train-time embeddings near the mean the eval path consumes.
+    appearance_opt: OptimizerConfig = OptimizerConfig(
+        lr_init=1e-3, lr_final=1e-4, weight_decay=1e-2
+    )
     # camera-opt warmup: pose gradients before geometry stabilizes are
     # garbage, and Adam(eps=1e-15) runs poses away on them — validated on
     # TPU: with immediate camera-opt the flagship learned only displaced fog

@@ -30,6 +30,26 @@ class SyntheticSceneConfig:
     leaf_radius: float = 0.06
 
 
+def orchard_config(
+    num_fruits: int = 283, num_cameras: int = 120, image_size: int = 512,
+    seed: int = 7,
+) -> SyntheticSceneConfig:
+    """Reference-scale scene: the apple-orchard shape of the reference's
+    synthetic evaluation (283 fruits from ~300 cams at 1024^2,
+    clustering/config_synthetic.py:14). Fruit radius shrinks with count so
+    rejection sampling stays feasible in the canopy sphere."""
+    radius = min(0.04, 0.45 / (2.0 * num_fruits ** (1.0 / 3.0)))
+    return SyntheticSceneConfig(
+        num_fruits=num_fruits,
+        fruit_radius=float(radius),
+        num_cameras=num_cameras,
+        image_size=image_size,
+        num_leaves=max(200, num_fruits),
+        leaf_radius=float(radius * 1.3),
+        seed=seed,
+    )
+
+
 def fruit_centers(config: SyntheticSceneConfig) -> np.ndarray:
     """[K, 3] fruit centers, min-separation enforced (rejection sampling)."""
     rng = np.random.RandomState(config.seed)
@@ -99,6 +119,41 @@ def _ray_sphere_hits(origins, dirs, centers, radii):
     return tmin, idx
 
 
+def _ray_sphere_hits_jax(centers, radii):
+    """JAX twin of _ray_sphere_hits, jitted + chunk-batched: at reference
+    scale (283 fruits + hundreds of leaves x 512^2 rays x 100+ cams,
+    config_synthetic.py:14) the numpy tracer is O(minutes/camera); the same
+    einsums on device render the whole orchard in seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    c = jnp.asarray(centers)
+    r = jnp.asarray(radii)
+
+    @jax.jit
+    def hits(origins, dirs):
+        oc = origins[:, None, :] - c[None, :, :]
+        b = jnp.einsum("rkj,rj->rk", oc, dirs)
+        cc = jnp.einsum("rkj,rkj->rk", oc, oc) - r[None, :] ** 2
+        disc = b * b - cc
+        hit = disc >= 0
+        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = jnp.where(hit & (t > 1e-4), t, jnp.inf)
+        idx = jnp.argmin(t, axis=-1)
+        tmin = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+        return tmin, idx
+
+    def run(origins, dirs, chunk=1 << 16):
+        ts, idxs = [], []
+        for s in range(0, dirs.shape[0], chunk):
+            t, i = hits(origins[s : s + chunk], dirs[s : s + chunk])
+            ts.append(np.asarray(t))
+            idxs.append(np.asarray(i))
+        return np.concatenate(ts), np.concatenate(idxs)
+
+    return run
+
+
 def render_scene(config: SyntheticSceneConfig):
     """Render all cameras analytically.
 
@@ -131,12 +186,19 @@ def render_scene(config: SyntheticSceneConfig):
     dirs_cam = np.stack([px, py, -np.ones_like(px)], axis=-1)
     dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
 
+    # device tracer pays off once rays x spheres crosses ~10^8 per camera
+    use_jax = h * w * len(centers) > 50_000_000
+    jax_hits = _ray_sphere_hits_jax(centers, radii) if use_jax else None
+
     images, masks = [], []
     for pose in poses:
         rot, eye = pose[:3, :3], pose[:3, 3]
         dirs = dirs_cam @ rot.T
-        origins = np.broadcast_to(eye, dirs.shape)
-        t, idx = _ray_sphere_hits(origins, dirs, centers, radii)
+        origins = np.ascontiguousarray(np.broadcast_to(eye, dirs.shape))
+        if use_jax:
+            t, idx = jax_hits(origins.astype(np.float32), dirs.astype(np.float32))
+        else:
+            t, idx = _ray_sphere_hits(origins, dirs, centers, radii)
         hit = np.isfinite(t)
         img = np.tile(np.array(config.background, np.float32), (h * w, 1))
         # simple lambertian shading from a fixed light

@@ -96,17 +96,47 @@ def _make_group_tx(opt: OptimizerConfig, max_steps: int) -> optax.GradientTransf
         zero = optax.constant_schedule(0.0)
         schedule = optax.join_schedules([zero, schedule], [opt.warmup_steps])
     if opt.name == "adam":
-        return optax.adam(schedule, eps=opt.eps)
-    if opt.name == "radam":
-        return optax.radam(schedule, eps=opt.eps)
-    raise ValueError(f"unknown optimizer {opt.name!r}")
+        tx = optax.adam(schedule, eps=opt.eps)
+    elif opt.name == "radam":
+        tx = optax.radam(schedule, eps=opt.eps)
+    else:
+        raise ValueError(f"unknown optimizer {opt.name!r}")
+    if opt.weight_decay:
+        # decoupled decay scaled by the same schedule (adamw semantics)
+        tx = optax.chain(tx, _decoupled_decay(opt.weight_decay, schedule))
+    return tx
+
+
+def _decoupled_decay(weight_decay: float, schedule):
+    """AdamW-style decoupled weight decay: update -= wd * lr(step) * param."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("decoupled decay needs params")
+        lr = schedule(state.count)
+        updates = jax.tree.map(
+            lambda u, p: u - weight_decay * lr * p, updates, params
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     def label_fn(params):
+        field_labels = {
+            k: jax.tree.map(
+                lambda _: "appearance" if k == "appearance" else "fields", v
+            )
+            for k, v in params["model"]["field"].items()
+        }
         return {
             "model": {
-                "field": jax.tree.map(lambda _: "fields", params["model"]["field"]),
+                "field": field_labels,
                 "proposal_networks": jax.tree.map(
                     lambda _: "proposal_networks",
                     params["model"]["proposal_networks"],
@@ -121,6 +151,7 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         {
             "fields": _make_group_tx(config.fields_opt, config.max_iters),
             "proposal_networks": _make_group_tx(config.proposal_opt, config.max_iters),
+            "appearance": _make_group_tx(config.appearance_opt, config.max_iters),
             "camera_opt": _make_group_tx(config.camera_opt, config.max_iters),
         },
         label_fn,
@@ -154,6 +185,12 @@ def _shard_rays(x, mesh):
 
 def make_train_step(config: TrainConfig, mesh=None):
     """Returns jit'd (state, dataset, key) -> (state, metrics)."""
+    return jax.jit(build_step_fn(config, mesh), donate_argnums=(0,))
+
+
+def build_step_fn(config: TrainConfig, mesh=None):
+    """The raw (unjitted) fused train step — exposed so multi-scene training
+    can vmap it over a scene axis (parallel/multi_scene.py)."""
     tx = make_optimizer(config)
     num_rays = config.train_rays_per_batch
 
@@ -202,7 +239,7 @@ def make_train_step(config: TrainConfig, mesh=None):
             metrics["camera_opt_rotation"] = jnp.linalg.norm(t[..., :3])
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,178 @@
+"""Reference-scale end-to-end validation: synthetic orchard -> train ->
+volume export -> counting cascade -> GT metrics.
+
+The reference's evaluation protocol counts hundreds of fruits from hundreds
+of images (apple 283 from ~300 cams, clustering/config_synthetic.py:14;
+evaluation loop run_clustering.py:94-130). This driver reproduces that shape
+fully in-process on TPU: a procedural orchard with a known fruit count is
+rendered, trained, exported at N^3 probes, counted, and scored against the
+true centers. Writes ``orchard_report.json`` with wall-times and metrics.
+
+    python -m fruitnerf_tpu orchard-e2e --num-fruits 283 --num-cameras 120 \
+        --image-size 512 --iters 30000 --output-dir runs/orchard
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--num-fruits", type=int, default=283)
+    p.add_argument("--num-cameras", type=int, default=120)
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=30000)
+    p.add_argument("--variant", default="grid",
+                   choices=["grid", "tpu", "parity"])
+    p.add_argument("--preset", default="fruit_nerf")
+    p.add_argument("--export-n", type=int, default=512,
+                   help="probe-grid side length N (N^3 probes)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--train-rays-per-batch", type=int, default=None)
+
+
+def counting_profile_for(fruit_radius_world: float, num_fruits: int):
+    """Scale the reference apple profile's length hyperparameters to the
+    orchard's exported fruit radius. The apple row (config_synthetic.py:14)
+    uses eps 0.01 / merge 0.04 / voxel 0.001 at an exported fruit radius of
+    ~0.028 (template_size 0.7 x BASE_RADIUS 0.04); ratios carry over."""
+    from ..counting.clustering import CountingProfile
+    from ..counting.templates import BASE_RADIUS
+
+    r = 2.0 * fruit_radius_world  # export un-scale x2 (exporter_utils.py:191)
+    return CountingProfile(
+        name=f"orchard_{num_fruits}",
+        template="apple",
+        template_size=r / BASE_RADIUS,
+        remove_outliers_nb_points=20,
+        remove_outliers_radius=0.35 * r,
+        down_sample=0.036 * r,
+        eps=0.36 * r,
+        min_samples=30,
+        cluster_merge_distance=1.4 * r,
+        gt_count=num_fruits,
+    )
+
+
+def main(args):
+    import jax
+
+    from ..configs import get_preset
+    from ..counting.clustering import FruitClustering, evaluate_against_gt
+    from ..data.builder import dataset_from_scene
+    from ..data.synthetic import orchard_config, render_scene
+    from ..engine.checkpoints import save_checkpoint, write_manifest
+    from ..engine.trainer import evaluate_all, train_loop
+    from ..export.volume_sampler import ExportConfig, sample_volume
+    from ..utils.writer import MetricWriter
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    report: dict = {"args": vars(args)}
+
+    t0 = time.time()
+    cfg_scene = orchard_config(
+        num_fruits=args.num_fruits, num_cameras=args.num_cameras,
+        image_size=args.image_size, seed=args.seed,
+    )
+    scene = render_scene(cfg_scene)
+    report["render_scene_s"] = round(time.time() - t0, 1)
+    report["fruit_radius"] = cfg_scene.fruit_radius
+
+    data = dataset_from_scene(scene, train_fraction=0.95)
+    n = data.cameras.num_cameras
+    train_set = set(np.asarray(data.train_indices).tolist())
+    eval_idx = np.asarray([i for i in range(n) if i not in train_set] or [0])
+
+    if args.preset == "fruit_nerf_smoke":
+        config = get_preset(args.preset, num_images=n)
+    else:
+        config = get_preset(args.preset, num_images=n, variant=args.variant)
+    config = dataclasses.replace(config, max_iters=args.iters)
+    if args.train_rays_per_batch:
+        config = dataclasses.replace(
+            config, train_rays_per_batch=args.train_rays_per_batch
+        )
+
+    t0 = time.time()
+    writer = MetricWriter(out / "metrics.jsonl")
+    state = train_loop(config, data, eval_indices=eval_idx, writer=writer,
+                       checkpoint_dir=out / "checkpoints")
+    train_s = time.time() - t0
+    report["train_s"] = round(train_s, 1)
+    report["train_rays_per_sec"] = round(
+        args.iters * config.train_rays_per_batch / train_s
+    )
+    save_checkpoint(out / "checkpoints", state)
+    write_manifest(
+        out, preset=args.preset, dataparser_transform=np.eye(4)[:3],
+        dataparser_scale=1.0, scene_aabb=np.array([[-1.0] * 3, [1.0] * 3]),
+        num_images=n, extra={"variant": args.variant},
+    )
+
+    t0 = time.time()
+    stats = evaluate_all(state.params, data, eval_idx, config)
+    report["eval"] = {k: round(float(v), 4) for k, v in stats.items()}
+    report["eval_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    export_cfg = ExportConfig(num_points_per_side=args.export_n)
+    clouds = sample_volume(
+        state.params["model"], config.model, export_cfg,
+        dataparser_scale=1.0, output_dir=out, progress=False,
+    )
+    export_s = time.time() - t0
+    report["export_s"] = round(export_s, 1)
+    report["export_probes_per_sec"] = round(args.export_n**3 / export_s)
+    report["export_points"] = {
+        k: int(len(v["points"])) for k, v in clouds.items()
+    }
+
+    profile = counting_profile_for(cfg_scene.fruit_radius, args.num_fruits)
+    gt_centers = 2.0 * scene["fruit_centers"]  # export space
+    t0 = time.time()
+    counting = {}
+    for cloud_name in ("semantic_colormap", "semantic"):
+        pts = clouds[cloud_name]["points"]
+        if len(pts) == 0:
+            counting[cloud_name] = {"count": 0, "error": "empty cloud"}
+            continue
+        result = FruitClustering(profile).count(pts)
+        # GT match tolerance scales with fruit size (reference fixes 0.15
+        # for ~0.03-radius apples; keep the same ~5x-radius ratio)
+        gt = evaluate_against_gt(
+            result.centers, gt_centers,
+            tolerance=max(0.15, 5.0 * 2.0 * cfg_scene.fruit_radius),
+        )
+        counting[cloud_name] = {
+            "count": result.count,
+            "first_stage": result.first_stage,
+            "fused": result.fused,
+            "additional": result.additional,
+            "pruned": result.pruned,
+            "count_error_pct": round(
+                100.0 * abs(result.count - args.num_fruits) / args.num_fruits,
+                2,
+            ),
+            **{k: round(float(v), 4) if isinstance(v, float) else v
+               for k, v in gt.items()},
+        }
+    report["count_s"] = round(time.time() - t0, 1)
+    report["counting"] = counting
+    report["gt_count"] = args.num_fruits
+
+    with open(out / "orchard_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    add_args(p)
+    main(p.parse_args())

@@ -1,0 +1,105 @@
+"""Multi-scene batched training: vmap-over-scenes == per-scene loop, and an
+8-device mesh run (parallel/multi_scene.py; BASELINE config 5)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fruitnerf_tpu.configs import fruit_nerf_smoke
+from fruitnerf_tpu.data.builder import dataset_from_scene
+from fruitnerf_tpu.data.synthetic import SyntheticSceneConfig, render_scene
+from fruitnerf_tpu.engine.trainer import make_train_step
+from fruitnerf_tpu.parallel.multi_scene import (
+    init_multi_scene_state,
+    make_multi_scene_step,
+    stack_datasets,
+)
+
+
+def _tiny_config(n_cams):
+    config = fruit_nerf_smoke(num_images=n_cams)
+    model = dataclasses.replace(
+        config.model, num_nerf_samples=8, num_proposal_samples=(16, 8)
+    )
+    return dataclasses.replace(
+        config, model=model, train_rays_per_batch=64
+    )
+
+
+def _scenes(num_scenes, n_cams=4, size=24):
+    return [
+        render_scene(
+            SyntheticSceneConfig(
+                num_fruits=2, num_cameras=n_cams, image_size=size,
+                num_leaves=4, seed=s,
+            )
+        )
+        for s in range(num_scenes)
+    ]
+
+
+def test_multi_scene_matches_per_scene_loop():
+    scenes = _scenes(2)
+    datasets = [dataset_from_scene(s, train_fraction=1.0) for s in scenes]
+    config = _tiny_config(4)
+    # threefry key: counter-based, so vmapped sampling == per-scene sampling
+    # (rbg trades that invariance for speed)
+    key = jax.random.key(0)
+
+    states = init_multi_scene_state(jax.random.PRNGKey(0), config, 4, 2)
+    # slice BEFORE the step: the multi step donates its input states
+    per_scene = [jax.tree.map(lambda x, s=s: np.asarray(x[s]), states)
+                 for s in range(2)]
+    stacked = stack_datasets(datasets)
+    multi_step = make_multi_scene_step(config)
+    new_states, metrics = multi_step(states, stacked, key)
+    assert metrics["total_loss"].shape == (2,)
+
+    # loop twin: same per-scene init + same folded key
+    single_step = make_train_step(config)
+    for s in range(2):
+        st = jax.tree.map(jnp.asarray, per_scene[s])
+        _, m = single_step(
+            st, datasets[s], jax.random.fold_in(key, s)
+        )
+        np.testing.assert_allclose(
+            float(metrics["total_loss"][s]), float(m["total_loss"]),
+            rtol=1e-5,
+        )
+    # different scenes -> different losses
+    assert float(metrics["total_loss"][0]) != float(metrics["total_loss"][1])
+
+
+def test_multi_scene_on_mesh():
+    from jax.sharding import Mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    num_scenes = n_dev
+    scenes = _scenes(num_scenes)
+    datasets = [dataset_from_scene(s, train_fraction=1.0) for s in scenes]
+    config = _tiny_config(4)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    states = init_multi_scene_state(
+        jax.random.PRNGKey(0), config, 4, num_scenes
+    )
+    stacked = stack_datasets(datasets)
+    step = make_multi_scene_step(config, mesh=mesh)
+    key = jax.random.key(0, impl="rbg")
+    for _ in range(2):
+        states, metrics = step(states, stacked, key)
+    losses = np.asarray(metrics["total_loss"])
+    assert losses.shape == (num_scenes,)
+    assert np.all(np.isfinite(losses))
+    assert np.asarray(states.step == 2).all()
+
+
+def test_stack_datasets_rejects_mismatched():
+    scenes = _scenes(1, size=24) + _scenes(1, size=32)
+    datasets = [dataset_from_scene(s, train_fraction=1.0) for s in scenes]
+    with pytest.raises(ValueError, match="identical image stacks"):
+        stack_datasets(datasets)
