@@ -51,7 +51,7 @@ def trained(config, data):
     step_fn = make_train_step(config)
     key = jax.random.PRNGKey(1)
     first_metrics = None
-    for i in range(250):
+    for i in range(320):
         state, metrics = step_fn(state, data, key)
         if first_metrics is None:
             first_metrics = jax.tree.map(float, metrics)
