@@ -14,11 +14,17 @@ from scipy.spatial import cKDTree
 def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     """[N,3] -> labels [N] int32 (-1 = noise).
 
-    Dispatch: export-scale clouds go to the device (TPU) engine
-    (counting/dbscan_device.py) — the quadratic neighbor math as batched XLA;
-    small clouds use the numpy grid engine (counting/gridhash.py). Both are
-    exact; this BFS version remains the reference implementation and the
-    fallback for degenerate coordinate spreads."""
+    Dispatch: the native C++ grid engine (fruitnerf_tpu/native) handles any
+    size without touching the TPU; export-scale clouds fall back to the
+    device (TPU) engine (counting/dbscan_device.py) — the quadratic neighbor
+    math as batched XLA; small clouds use the numpy grid engine
+    (counting/gridhash.py). All are exact; the BFS version remains the
+    reference implementation and the fallback for degenerate spreads."""
+    from .. import native
+
+    labels = native.dbscan(np.asarray(points), eps, min_samples)
+    if labels is not None:
+        return labels
     if len(points) >= 50_000:
         from .dbscan_device import dbscan_device
 

@@ -12,9 +12,18 @@ from scipy.spatial import cKDTree
 
 
 def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
-    """Mean position per occupied voxel (matches open3d voxel_down_sample)."""
+    """Mean position per occupied voxel (matches open3d voxel_down_sample).
+    Output rows ordered lexicographically by voxel key (np.unique order)."""
     if len(points) == 0:
         return points
+    from .. import native
+
+    means = native.voxel_downsample(np.asarray(points), voxel_size)
+    if means is not None:
+        # native emits hash order; restore the key-lexicographic contract
+        # (mean lies inside its voxel, so keys are recoverable)
+        k = np.floor(means / voxel_size).astype(np.int64)
+        return means[np.lexsort((k[:, 2], k[:, 1], k[:, 0]))]
     keys = np.floor(points / voxel_size).astype(np.int64)
     # lexicographic unique via structured view
     _, inverse = np.unique(keys, axis=0, return_inverse=True)
@@ -32,6 +41,11 @@ def radius_outlier_removal(
     matching open3d remove_radius_outlier semantics."""
     if len(points) == 0:
         return points
+    from .. import native
+
+    mask = native.radius_outlier_mask(np.asarray(points), radius, nb_points)
+    if mask is not None:
+        return points[mask]
     if len(points) >= 50_000:
         from .dbscan_device import radius_neighbor_mask_device
 
