@@ -9,6 +9,7 @@ Commands mirror the reference's console scripts (pyproject.toml:24-32):
   eval          ns-eval analog: averaged full-eval-set metrics
   orchard-e2e   reference-scale synthetic validation (train->export->count)
   suggest-crop  crop-box discovery (offline analog of the viewer workflow)
+  viewer        interactive orbit viewer + crop-box picker (debug/viewer.py)
 """
 from __future__ import annotations
 
@@ -23,6 +24,7 @@ from .scripts import export as export_cmd
 from .scripts import process_data as process_cmd
 from .scripts import render as render_cmd
 from .scripts import train as train_cmd
+from .viewer import server as viewer_cmd
 
 COMMANDS = {
     "train": train_cmd,
@@ -33,6 +35,7 @@ COMMANDS = {
     "eval": eval_cmd,
     "orchard-e2e": orchard_cmd,
     "suggest-crop": crop_cmd,
+    "viewer": viewer_cmd,
 }
 
 
