@@ -13,6 +13,18 @@ from pathlib import Path
 def add_args(p: argparse.ArgumentParser):
     p.add_argument("--load-dir", required=True, help="run dir (manifest + checkpoints)")
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--mode", choices=("semantic-pointcloud", "pointcloud"),
+                   default="semantic-pointcloud",
+                   help="semantic volume export, or the stock depth-"
+                        "backprojected RGB cloud (exporter.py:124-129)")
+    p.add_argument("--data", default="synthetic",
+                   help="pointcloud mode: dataset dir with transforms.json, "
+                        "or 'synthetic'")
+    p.add_argument("--num-points", type=int, default=1_000_000,
+                   help="pointcloud mode: target cloud size")
+    p.add_argument("--acc-threshold", type=float, default=0.5)
+    p.add_argument("--pointcloud-cameras", type=int, default=24,
+                   help="pointcloud mode: number of cameras to render")
     p.add_argument("--num-points-per-side", type=int, default=1000)
     p.add_argument("--num-rays-per-batch", type=int, default=32768)
     p.add_argument("--bounding-box-min", type=float, nargs=3, default=(-1, -1, -1))
@@ -45,6 +57,37 @@ def main(args):
     if not resumed:
         raise FileNotFoundError(f"no checkpoint under {run_dir}/checkpoints")
     print(f"loaded step {int(state.step)} ({preset}, variant={variant})")
+
+    if args.mode == "pointcloud":
+        import numpy as np
+
+        from ..export.ply import write_ply
+        from ..export.rgb_pointcloud import export_rgb_pointcloud
+
+        if args.data == "synthetic":
+            from ..data.builder import cameras_from_scene
+            from ..data.synthetic import SyntheticSceneConfig, render_scene
+
+            cameras = cameras_from_scene(render_scene(SyntheticSceneConfig(
+                num_cameras=args.pointcloud_cameras, image_size=256)))
+        else:
+            from ..data.builder import dataset_from_parsed
+            from ..data.dataparser import DataParserConfig, parse_transforms
+
+            cameras = dataset_from_parsed(parse_transforms(
+                DataParserConfig(data_dir=Path(args.data)))).cameras
+        indices = list(range(min(args.pointcloud_cameras,
+                                 cameras.num_cameras)))
+        pts, cols = export_rgb_pointcloud(
+            state.params, config, cameras, indices,
+            num_points=args.num_points, acc_threshold=args.acc_threshold,
+            dataparser_scale=manifest["dataparser_scale"],
+        )
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = write_ply(out_dir / "point_cloud.ply", pts, cols)
+        print(f"point_cloud: {len(pts)} points -> {path}")
+        return
 
     export_config = ExportConfig(
         bounding_box_min=tuple(args.bounding_box_min),
