@@ -75,11 +75,6 @@ def safe_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def expected_sin(mean: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
-    """E[sin(x)] for x ~ N(mean, var) — used by integrated frequency encodings."""
-    return jnp.exp(-0.5 * var) * jnp.sin(mean)
-
-
 def batched_searchsorted(
     a: jnp.ndarray, v: jnp.ndarray, side: str = "right"
 ) -> jnp.ndarray:

@@ -2,9 +2,9 @@
 
 Rebuild of the reference's ``SemanticNeRFField`` (fruit_field.py:310-410): a
 positional-encoding 8x256 MLP with a skip, a direction-conditioned RGB head,
-a density head, and a small semantic branch. The reference never wires it
-into a config; here it powers the CPU-smoke end-to-end slice (BASELINE.json
-config 1) and doubles as a hash-free correctness baseline.
+a density head, and a small semantic branch. Mirroring the reference, no
+preset wires it in (the smoke preset uses a small hash FruitField instead);
+it stands alone as a hash-free correctness baseline with its own tests.
 """
 from __future__ import annotations
 

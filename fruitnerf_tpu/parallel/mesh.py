@@ -26,12 +26,3 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch_pytree(tree, mesh: Mesh):
-    """Place every leaf with its leading axis sharded over the mesh."""
-    sharding = data_sharded(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def replicate_pytree(tree, mesh: Mesh):
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
