@@ -102,8 +102,19 @@ def main(args):
 
     t0 = time.time()
     writer = MetricWriter(out / "metrics.jsonl")
+    ckpt_dir = out / "checkpoints"
+    state = None
+    if ckpt_dir.exists():  # crash/preemption recovery: resume from latest
+        from ..engine.checkpoints import resume_from_latest
+        from ..engine.trainer import init_train_state
+
+        template = init_train_state(jax.random.PRNGKey(0), config, n)
+        resumed, ok = resume_from_latest(ckpt_dir, template)
+        if ok:
+            state = resumed
+            print(f"resuming from step {int(state.step)}", flush=True)
     state = train_loop(config, data, eval_indices=eval_idx, writer=writer,
-                       checkpoint_dir=out / "checkpoints")
+                       checkpoint_dir=ckpt_dir, state=state)
     train_s = time.time() - t0
     report["train_s"] = round(train_s, 1)
     report["train_rays_per_sec"] = round(
