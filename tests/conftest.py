@@ -22,3 +22,9 @@ else:
     import jax
 
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: reference-scale tests (minutes, not seconds)"
+    )
