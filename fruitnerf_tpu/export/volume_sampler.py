@@ -154,8 +154,16 @@ def sample_volume(
     n = export_config.num_points_per_side
     aabb = export_config.aabb
     origins_np, direction_np, far = orthographic_ray_grid(aabb, n)
-    batch = export_config.num_rays_per_batch
     num_samples = n
+    # Probes per jit call = rays x samples; at large N the configured ray
+    # batch would put >16M probes into one program (N=512 x 32768 rays blew
+    # up the v5e compiler). Cap the per-call probe count and shrink the ray
+    # batch to fit; the stream loop makes up the difference in iterations.
+    max_probes = 1 << 22
+    batch = min(
+        export_config.num_rays_per_batch,
+        max(1024, max_probes // num_samples),
+    )
     capacity = max(1024, int(batch * n * export_config.compaction_fraction))
     thresholds = jnp.asarray(
         [

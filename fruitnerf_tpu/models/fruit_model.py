@@ -75,7 +75,13 @@ class FruitModelConfig:
     # losses (fruit_nerf.py:50-59, 359-372)
     semantic_loss_weight: float = 1.0
     interlevel_loss_mult: float = 1.0
-    distortion_loss_mult: float = 0.002  # metric only
+    # The reference computes distortion but never adds it to the loss
+    # (fruit_nerf.py:359-372 vs :400) — metric-only is the parity default.
+    # At reference scale (hundreds of fruits, hemisphere capture) the
+    # missing term lets floater fog survive wherever views are sparse, so
+    # large-scene configs may opt in to the standard nerfacto 0.002 weight.
+    distortion_loss_mult: float = 0.002
+    use_distortion_loss: bool = False
     # proposal annealing / update cadence (fruit_nerf.py:191-223)
     use_proposal_weight_anneal: bool = True
     proposal_weights_anneal_max_num_iters: int = 1000
@@ -276,6 +282,10 @@ def loss_dict(
         "interlevel_loss": config.interlevel_loss_mult
         * L.interlevel_loss(outputs["weights_list"], outputs["sdist_list"]),
     }
+    if config.use_distortion_loss:
+        losses["distortion_loss"] = config.distortion_loss_mult * (
+            L.distortion_loss(outputs["weights_list"], outputs["sdist_list"])
+        )
     return losses
 
 

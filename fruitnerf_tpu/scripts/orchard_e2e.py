@@ -35,6 +35,12 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--output-dir", required=True)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--train-rays-per-batch", type=int, default=None)
+    p.add_argument("--distortion-loss", action="store_true",
+                   help="add the distortion term to the loss (anti-floater; "
+                        "the reference keeps it metric-only, "
+                        "fruit_nerf.py:400)")
+    p.add_argument("--table-size", type=int, default=None,
+                   help="override the grid variant's per-level table size")
 
 
 def counting_profile_for(fruit_radius_world: float, num_fruits: int):
@@ -98,6 +104,21 @@ def main(args):
     if args.train_rays_per_batch:
         config = dataclasses.replace(
             config, train_rays_per_batch=args.train_rays_per_batch
+        )
+    if args.distortion_loss:
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(config.model, use_distortion_loss=True),
+        )
+    if args.table_size:
+        field = dataclasses.replace(
+            config.model.field,
+            grid=dataclasses.replace(
+                config.model.field.grid, table_size=args.table_size
+            ),
+        )
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, field=field)
         )
 
     t0 = time.time()

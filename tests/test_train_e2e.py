@@ -236,3 +236,22 @@ def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
         # most surviving semantic points sit within ~2 fruit radii of a fruit
         assert np.median(d) < 2.5 * scene["fruit_radius"], (
             sem.shape, float(np.median(d)))
+
+
+def test_distortion_loss_opt_in(config, data):
+    """The reference keeps distortion metric-only (fruit_nerf.py:400); the
+    opt-in flag must add it as a real loss term (anti-floater at scale)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config, model=dataclasses.replace(config.model, use_distortion_loss=True)
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg, data.cameras.num_cameras)
+    step_fn = make_train_step(cfg)
+    state, metrics = step_fn(state, data, jax.random.PRNGKey(1))
+    assert "distortion_loss" in metrics
+    assert float(metrics["distortion_loss"]) >= 0.0
+    # total includes the term
+    parts = [float(metrics[k]) for k in
+             ("rgb_loss", "semantics_loss", "interlevel_loss", "distortion_loss")]
+    assert abs(float(metrics["total_loss"]) - sum(parts)) < 1e-4
