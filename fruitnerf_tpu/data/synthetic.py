@@ -186,8 +186,10 @@ def render_scene(config: SyntheticSceneConfig):
     dirs_cam = np.stack([px, py, -np.ones_like(px)], axis=-1)
     dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
 
-    # device tracer pays off once rays x spheres crosses ~10^8 per camera
-    use_jax = h * w * len(centers) > 50_000_000
+    # device tracer pays off quickly: the numpy einsum is ~20s/camera at
+    # 256^2 x ~700 spheres (and each camera allocates a [R,K,3] temp), while
+    # the jitted version amortizes one compile across all cameras
+    use_jax = h * w * len(centers) > 2_000_000
     jax_hits = _ray_sphere_hits_jax(centers, radii) if use_jax else None
 
     images, masks = [], []
