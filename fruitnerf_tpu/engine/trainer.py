@@ -196,8 +196,8 @@ def build_step_fn(config: TrainConfig, mesh=None):
 
     def step_fn(state: TrainState, data: DeviceDataset, key: jax.Array):
         h, w = data.images.shape[1], data.images.shape[2]
-        k_img, k_y, k_x, k_samp = jax.random.split(
-            jax.random.fold_in(key, state.step), 4
+        k_img, k_y, k_x, k_samp, k_sparse = jax.random.split(
+            jax.random.fold_in(key, state.step), 5
         )
         # pixel sampler (the reference's PixelSampler over the image batch)
         slot = jax.random.randint(k_img, (num_rays,), 0, data.train_indices.shape[0])
@@ -218,6 +218,20 @@ def build_step_fn(config: TrainConfig, mesh=None):
                 params["model"], bundle, config.model, k_samp, state.step, train=True
             )
             losses = loss_dict(outputs, rgb_gt, mask_gt, config.model)
+            mc = config.model
+            if mc.density_sparsity_mult > 0:
+                from ..fields.fruit_field import get_density
+
+                pts = jax.random.uniform(
+                    k_sparse, (mc.sparsity_num_points, 3),
+                    minval=-mc.sparsity_extent, maxval=mc.sparsity_extent,
+                )
+                dens, _ = get_density(
+                    params["model"]["field"], pts, mc.field, contraction=True
+                )
+                losses["sparsity_loss"] = mc.density_sparsity_mult * jnp.mean(
+                    1.0 - jnp.exp(-dens * mc.sparsity_cell)
+                )
             total = sum(losses.values())
             metrics = metrics_dict(outputs, rgb_gt)
             return total, (losses, metrics)

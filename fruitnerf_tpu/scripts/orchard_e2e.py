@@ -39,6 +39,9 @@ def add_args(p: argparse.ArgumentParser):
                    help="add the distortion term to the loss (anti-floater; "
                         "the reference keeps it metric-only, "
                         "fruit_nerf.py:400)")
+    p.add_argument("--sparsity-loss", type=float, default=0.0,
+                   help="occupancy-sparsity weight (anti-fog on bright-"
+                        "background captures); 0 = off")
     p.add_argument("--table-size", type=int, default=None,
                    help="override the grid variant's per-level table size")
 
@@ -109,6 +112,13 @@ def main(args):
         config = dataclasses.replace(
             config,
             model=dataclasses.replace(config.model, use_distortion_loss=True),
+        )
+    if args.sparsity_loss > 0:
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(
+                config.model, density_sparsity_mult=args.sparsity_loss
+            ),
         )
     if args.table_size:
         field = dataclasses.replace(

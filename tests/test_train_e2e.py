@@ -255,3 +255,28 @@ def test_distortion_loss_opt_in(config, data):
     parts = [float(metrics[k]) for k in
              ("rgb_loss", "semantics_loss", "interlevel_loss", "distortion_loss")]
     assert abs(float(metrics["total_loss"]) - sum(parts)) < 1e-4
+
+
+def test_sparsity_loss_opt_in(config, data):
+    """Occupancy-sparsity prior: off by default (reference parity); when on,
+    the term appears, is in [0, mult], and contributes to the total."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config,
+        model=dataclasses.replace(config.model, density_sparsity_mult=0.01,
+                                  sparsity_num_points=256),
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg, data.cameras.num_cameras)
+    step_fn = make_train_step(cfg)
+    state, metrics = step_fn(state, data, jax.random.PRNGKey(1))
+    assert "sparsity_loss" in metrics
+    v = float(metrics["sparsity_loss"])
+    assert 0.0 <= v <= 0.01 + 1e-6
+    parts = [float(metrics[k]) for k in
+             ("rgb_loss", "semantics_loss", "interlevel_loss", "sparsity_loss")]
+    assert abs(float(metrics["total_loss"]) - sum(parts)) < 1e-4
+    # default config emits no such term
+    state0 = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
+    _, m0 = make_train_step(config)(state0, data, jax.random.PRNGKey(1))
+    assert "sparsity_loss" not in m0
