@@ -35,6 +35,13 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--lpips-weights", default=None,
                    help="npz of LPIPS backbone weights (utils/lpips.py schema); "
                         "adds LPIPS to eval metrics")
+    p.add_argument("--sparsity-loss", type=float, default=0.0,
+                   help="occupancy-sparsity weight; recommended ~0.005 on "
+                        "bright-background captures to suppress background-"
+                        "colored fog (0 = off, reference parity)")
+    p.add_argument("--distortion-loss", action="store_true",
+                   help="add the distortion term to the loss (the reference "
+                        "keeps it metric-only, fruit_nerf.py:400)")
 
 
 def main(args):
@@ -96,6 +103,15 @@ def main(args):
             config, train_rays_per_batch=args.train_rays_per_batch
         )
     config = dataclasses.replace(config, seed=args.seed)
+    if args.sparsity_loss > 0 or args.distortion_loss:
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(
+                config.model,
+                density_sparsity_mult=args.sparsity_loss,
+                use_distortion_loss=bool(args.distortion_loss),
+            ),
+        )
 
     if config.max_train_images is not None:
         from ..engine.trainer import subsample_train_images
