@@ -28,6 +28,13 @@ class SyntheticSceneConfig:
     canopy_color: tuple = (0.15, 0.45, 0.12)
     num_leaves: int = 30
     leaf_radius: float = 0.06
+    # 0 = fruits anywhere in the canopy ball; f in (0,1) = fruits only in the
+    # outer shell radius in [f, 1] x canopy_radius. Real fruit hangs on the
+    # outer canopy; a solid uniform fill buries most fruits behind ~8 optical
+    # depths of foliage, making them unobservable by ANY capture — the
+    # reference's Blender trees keep fruit visible enough for mask-driven
+    # counting (config_synthetic.py GT counts with F1 ~0.9).
+    fruit_shell_fraction: float = 0.0
 
 
 def orchard_config(
@@ -46,6 +53,7 @@ def orchard_config(
         image_size=image_size,
         num_leaves=max(200, num_fruits),
         leaf_radius=float(radius * 1.3),
+        fruit_shell_fraction=0.62,
         seed=seed,
     )
 
@@ -55,9 +63,11 @@ def fruit_centers(config: SyntheticSceneConfig) -> np.ndarray:
     rng = np.random.RandomState(config.seed)
     centers = []
     min_sep = 2.6 * config.fruit_radius
+    r_lo = config.fruit_shell_fraction * config.canopy_radius
     while len(centers) < config.num_fruits:
         c = rng.uniform(-config.canopy_radius, config.canopy_radius, 3)
-        if np.linalg.norm(c) > config.canopy_radius:
+        r = np.linalg.norm(c)
+        if r > config.canopy_radius or r < r_lo:
             continue
         if centers and np.min(
             np.linalg.norm(np.array(centers) - c, axis=-1)
