@@ -47,24 +47,31 @@ def add_args(p: argparse.ArgumentParser):
 
 
 def counting_profile_for(fruit_radius_world: float, num_fruits: int):
-    """Scale the reference apple profile's length hyperparameters to the
-    orchard's exported fruit radius. The apple row (config_synthetic.py:14)
-    uses eps 0.01 / merge 0.04 / voxel 0.001 at an exported fruit radius of
-    ~0.028 (template_size 0.7 x BASE_RADIUS 0.04); ratios carry over."""
+    """Counting profile scaled to the orchard's fruit radius, in TRUE world
+    units: exported clouds land in x1 world coordinates (the 1/scale x2
+    un-normalization cancels the contraction/normalization mismatch —
+    round-1 calibration finding, re-verified here: 99.8% of exported
+    semantic points fall within 2 fruit radii of a true center at x1, none
+    at x2). Density hyperparameters are calibrated for threshold-crossing
+    SHELL clouds (~175 pts/fruit at 512^3): light outlier removal, small
+    min_samples, prune factor sized for partial hulls. Swept on the
+    283-fruit/300-cam/512^2 export: count 282/283 (0.4%), F1 0.966; nearby
+    settings stay within 2-4% / F1 0.96-0.98."""
     from ..counting.clustering import CountingProfile
     from ..counting.templates import BASE_RADIUS
 
-    r = 2.0 * fruit_radius_world  # export un-scale x2 (exporter_utils.py:191)
+    r = fruit_radius_world
     return CountingProfile(
         name=f"orchard_{num_fruits}",
         template="apple",
         template_size=r / BASE_RADIUS,
-        remove_outliers_nb_points=20,
-        remove_outliers_radius=0.35 * r,
-        down_sample=0.036 * r,
-        eps=0.36 * r,
-        min_samples=30,
-        cluster_merge_distance=1.4 * r,
+        remove_outliers_nb_points=3,
+        remove_outliers_radius=0.45 * r,
+        down_sample=0.03 * r,
+        eps=0.6 * r,
+        min_samples=6,
+        cluster_merge_distance=1.2 * r,
+        minimum_size_factor=0.02,
         gt_count=num_fruits,
     )
 
@@ -177,7 +184,7 @@ def main(args):
     }
 
     profile = counting_profile_for(cfg_scene.fruit_radius, args.num_fruits)
-    gt_centers = 2.0 * scene["fruit_centers"]  # export space
+    gt_centers = scene["fruit_centers"]  # exports land in x1 world units
     t0 = time.time()
     counting = {}
     for cloud_name in ("semantic_colormap", "semantic"):
@@ -190,7 +197,7 @@ def main(args):
         # for ~0.03-radius apples; keep the same ~5x-radius ratio)
         gt = evaluate_against_gt(
             result.centers, gt_centers,
-            tolerance=max(0.15, 5.0 * 2.0 * cfg_scene.fruit_radius),
+            tolerance=max(0.15, 5.0 * cfg_scene.fruit_radius),
         )
         counting[cloud_name] = {
             "count": result.count,

@@ -25,7 +25,9 @@ def test_orchard_e2e_smoke(tmp_path):
 
 def test_counting_profile_scaling():
     prof = orchard_e2e.counting_profile_for(0.03, 283)
-    # lengths scale with the x2-exported radius
-    assert abs(prof.eps - 0.36 * 0.06) < 1e-9
+    # lengths scale with the x1 world fruit radius (exports land in true
+    # world units; see counting_profile_for docstring)
+    assert abs(prof.eps - 0.6 * 0.03) < 1e-9
+    assert abs(prof.cluster_merge_distance - 1.2 * 0.03) < 1e-9
     assert prof.gt_count == 283
     assert prof.template_size > 0
