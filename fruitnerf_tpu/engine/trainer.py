@@ -220,15 +220,15 @@ def build_step_fn(config: TrainConfig, mesh=None):
             losses = loss_dict(outputs, rgb_gt, mask_gt, config.model)
             mc = config.model
             if mc.density_sparsity_mult > 0:
-                from ..fields.fruit_field import get_density
+                from ..fields.fruit_field import density_at_unit
 
-                pts = jax.random.uniform(
-                    k_sparse, (mc.sparsity_num_points, 3),
-                    minval=-mc.sparsity_extent, maxval=mc.sparsity_extent,
+                # uniform in CONTRACTED space: covers the whole representable
+                # domain incl. the periphery shell where fog hides from any
+                # finite world-box sampling (see density_at_unit docstring)
+                pts01 = jax.random.uniform(
+                    k_sparse, (mc.sparsity_num_points, 3)
                 )
-                dens, _ = get_density(
-                    params["model"]["field"], pts, mc.field, contraction=True
-                )
+                dens = density_at_unit(params["model"]["field"], pts01, mc.field)
                 losses["sparsity_loss"] = mc.density_sparsity_mult * jnp.mean(
                     1.0 - jnp.exp(-dens * mc.sparsity_cell)
                 )

@@ -164,6 +164,24 @@ def get_density(
     return density, out[..., 1:]
 
 
+def density_at_unit(
+    params: dict, pos01: jnp.ndarray, config: FruitFieldConfig
+) -> jnp.ndarray:
+    """Density at CONTRACTED/unit coordinates [...,3] in [0,1] (encode+MLP,
+    selector=1). The occupancy-sparsity prior samples here: uniform WORLD
+    boxes miss the contraction periphery (rays reach far_plane=1000, and
+    the ∞-norm contraction squashes all of it into a thin unit-cube shell)
+    where unsupervised background-colored fog otherwise accumulates."""
+    if config.encoding == "hash":
+        h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
+    elif config.encoding == "grid":
+        h = grid_encode(params["grid_table"], pos01, config.grid, config.compute_dtype)
+    else:
+        h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
+    out = apply_mlp_fast(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
+    return trunc_exp(out[..., 0])
+
+
 def get_appearance(
     params: dict, config: FruitFieldConfig, camera_indices: jnp.ndarray, train: bool
 ) -> jnp.ndarray:
