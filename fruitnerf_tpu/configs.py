@@ -75,6 +75,15 @@ class TrainConfig:
         lr_init=6e-4, lr_final=6e-5, warmup_steps=2500
     )
     use_camera_opt: bool = True
+    # Continuous sub-pixel ray jitter at train time. Without it each pixel
+    # supervises one exact LINE through the volume; at 256px the lines are
+    # ~9 finest-grid-cells apart, and any density prior (sparsity) kills the
+    # unsupervised cells BETWEEN them — the field collapses to a comb of
+    # ray-aligned filaments that renders perfectly from train poses and
+    # ~empty from poses 0.1 away (verified on the 10-fruit orchard: novel
+    # pose 70% background bleed-through). Jittering the ray uniformly over
+    # its pixel footprint supervises the full frustum tube instead.
+    train_subpixel_jitter: bool = True
     train_split_fraction: float = 0.9
     # big preset subsamples to 200 images repeated (fruit_nerf_config.py:63-111)
     max_train_images: int | None = None

@@ -196,8 +196,8 @@ def build_step_fn(config: TrainConfig, mesh=None):
 
     def step_fn(state: TrainState, data: DeviceDataset, key: jax.Array):
         h, w = data.images.shape[1], data.images.shape[2]
-        k_img, k_y, k_x, k_samp, k_sparse = jax.random.split(
-            jax.random.fold_in(key, state.step), 5
+        k_img, k_y, k_x, k_samp, k_sparse, k_jit = jax.random.split(
+            jax.random.fold_in(key, state.step), 6
         )
         # pixel sampler (the reference's PixelSampler over the image batch)
         slot = jax.random.randint(k_img, (num_rays,), 0, data.train_indices.shape[0])
@@ -210,10 +210,22 @@ def build_step_fn(config: TrainConfig, mesh=None):
 
         rgb_gt = data.images[cam, py, px].astype(jnp.float32) / 255.0
         mask_gt = data.masks[cam, py, px].astype(jnp.float32)
+        if config.train_subpixel_jitter:
+            # float pixel coords: ray sweeps the pixel footprint (see
+            # TrainConfig.train_subpixel_jitter)
+            jit = jax.random.uniform(
+                k_jit, (2,) + py.shape, minval=-0.5, maxval=0.5
+            )
+            ray_y = py.astype(jnp.float32) + jit[0]
+            ray_x = px.astype(jnp.float32) + jit[1]
+        else:
+            ray_y, ray_x = py, px
 
         def loss_fn(params):
             adj = exp_map_so3xr3(params["camera_opt"]) if config.use_camera_opt else None
-            bundle = generate_rays(data.cameras, cam, py, px, pose_adjustment=adj)
+            bundle = generate_rays(
+                data.cameras, cam, ray_y, ray_x, pose_adjustment=adj
+            )
             outputs = forward_train(
                 params["model"], bundle, config.model, k_samp, state.step, train=True
             )
