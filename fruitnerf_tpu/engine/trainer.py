@@ -232,15 +232,22 @@ def build_step_fn(config: TrainConfig, mesh=None):
             losses = loss_dict(outputs, rgb_gt, mask_gt, config.model)
             mc = config.model
             if mc.density_sparsity_mult > 0:
-                from ..fields.fruit_field import density_at_unit
+                from ..fields.fruit_field import get_density
 
-                # uniform in CONTRACTED space: covers the whole representable
-                # domain incl. the periphery shell where fog hides from any
-                # finite world-box sampling (see density_at_unit docstring)
-                pts01 = jax.random.uniform(
-                    k_sparse, (mc.sparsity_num_points, 3)
+                # Uniform WORLD-box sampling (±sparsity_extent), validated at
+                # reference scale (283 fruits: eval PSNR 10.5 -> 21.9/27.5).
+                # Uniform CONTRACTED-space sampling was tried and made things
+                # WORSE (eval stuck at ~10.5 in three runs): 7/8 of contracted
+                # volume is the periphery shell, and its hashed cells collide
+                # with scene content in the small table — the prior's negative
+                # updates drag content features down through the collisions.
+                pts = jax.random.uniform(
+                    k_sparse, (mc.sparsity_num_points, 3),
+                    minval=-mc.sparsity_extent, maxval=mc.sparsity_extent,
                 )
-                dens = density_at_unit(params["model"]["field"], pts01, mc.field)
+                dens, _ = get_density(
+                    params["model"]["field"], pts, mc.field, contraction=True
+                )
                 losses["sparsity_loss"] = mc.density_sparsity_mult * jnp.mean(
                     1.0 - jnp.exp(-dens * mc.sparsity_cell)
                 )

@@ -168,10 +168,12 @@ def density_at_unit(
     params: dict, pos01: jnp.ndarray, config: FruitFieldConfig
 ) -> jnp.ndarray:
     """Density at CONTRACTED/unit coordinates [...,3] in [0,1] (encode+MLP,
-    selector=1). The occupancy-sparsity prior samples here: uniform WORLD
-    boxes miss the contraction periphery (rays reach far_plane=1000, and
-    the ∞-norm contraction squashes all of it into a thin unit-cube shell)
-    where unsupervised background-colored fog otherwise accumulates."""
+    selector=1). NOTE: the sparsity prior deliberately does NOT sample here
+    — uniform contracted sampling puts 7/8 of points in the periphery
+    shell, whose hashed cells collide with scene content in the small
+    table, and the prior's negative updates wreck content through the
+    collisions (three runs stuck at eval PSNR ~10.5; world-box sampling
+    recovers 21+). Kept as a probing/debugging utility."""
     if config.encoding == "hash":
         h = hash_encode(params["hash_table"], pos01, config.hash, config.compute_dtype)
     elif config.encoding == "grid":

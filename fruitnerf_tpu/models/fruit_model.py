@@ -92,6 +92,7 @@ class FruitModelConfig:
     # 0 = off (the reference has no such term).
     density_sparsity_mult: float = 0.0
     sparsity_num_points: int = 4096
+    sparsity_extent: float = 2.0  # half-width of the sampled world box
     sparsity_cell: float = 0.01  # occupancy cell size (typ. sample spacing)
     # proposal annealing / update cadence (fruit_nerf.py:191-223)
     use_proposal_weight_anneal: bool = True
