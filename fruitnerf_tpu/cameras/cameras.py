@@ -137,3 +137,47 @@ def generate_image_rays(
     yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
     ci = jnp.full((height * width,), camera_index, jnp.int32)
     return generate_rays(cameras, ci, yy.reshape(-1), xx.reshape(-1))
+
+
+def frustum_coverage(
+    cameras: Cameras,
+    points: jnp.ndarray,
+    camera_indices: jnp.ndarray | None = None,
+    near: float = 1e-3,
+) -> jnp.ndarray:
+    """points [P, 3] world -> [P] count of cameras whose pinhole view
+    frustum contains each point (distortion ignored; adequate for coverage
+    tests).
+
+    Used to weight the density-sparsity prior: a world column that lies
+    outside EVERY training frustum is never photometrically supervised, so
+    residual init fog there survives training on sparse captures (<~60
+    hemisphere cameras; see NOTES_ROUND2 capture-density analysis). The
+    reference trains from arbitrary captures because its datasets are dense
+    (200-300 images); this makes sparse captures workable.
+    """
+    c2w = cameras.camera_to_worlds
+    fx, fy = cameras.fx, cameras.fy
+    cx, cy = cameras.cx, cameras.cy
+    w = cameras.width.astype(jnp.float32)
+    h = cameras.height.astype(jnp.float32)
+    if camera_indices is not None:
+        c2w = c2w[camera_indices]
+        fx, fy = fx[camera_indices], fy[camera_indices]
+        cx, cy = cx[camera_indices], cy[camera_indices]
+        w, h = w[camera_indices], h[camera_indices]
+    rot = c2w[:, :, :3]  # [N,3,3]
+    t = c2w[:, :, 3]  # [N,3]
+    rel = points[None, :, :] - t[:, None, :]  # [N,P,3]
+    # camera frame: p_cam = R^T (p - t); OpenGL convention (-z forward)
+    pc = jnp.einsum("nij,npi->npj", rot, rel)  # [N,P,3]
+    depth = -pc[..., 2]
+    safe = jnp.maximum(depth, 1e-9)
+    u = pc[..., 0] / safe * fx[:, None] + cx[:, None]
+    v = pc[..., 1] / (-safe) * fy[:, None] + cy[:, None]
+    inside = (
+        (depth > near)
+        & (u >= 0.0) & (u <= w[:, None])
+        & (v >= 0.0) & (v <= h[:, None])
+    )
+    return jnp.sum(inside.astype(jnp.int32), axis=0)  # [P]

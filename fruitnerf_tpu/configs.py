@@ -148,18 +148,29 @@ def fruit_nerf(
 
 
 def fruit_nerf_big(
-    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "grid",
+    grid_table_size: int = 16384,
 ) -> TrainConfig:
     """Big preset (fruit_nerf_config.py:63-111): 100k iters, 8192 rays, 128
     nerf samples, proposal (512,256), hidden 128, geo_feat 30, semantic 3x128,
-    appearance 128, max_res 4096, 2^21 table, anneal 5000, RAdam, split .99."""
+    appearance 128, max_res 4096, 2^21 table, anneal 5000, RAdam, split .99.
+
+    variant="grid" (default): Pallas small-table kernel at max_res 4096 with
+    ``grid_table_size`` rows/level (16384 default = 2x the base preset; the
+    MXU formulation trades capacity linearly for step time, so the 2^21
+    reference table is replaced by capacity-vs-PSNR-validated small tables —
+    see the round-3 capacity study in NOTES_ROUND3.md)."""
     field = _field(
         num_images,
         hash=HashEncodingConfig(
             num_levels=16, log2_hashmap_size=21, base_res=16, max_res=4096,
             mode="cell" if variant == "tpu" else "corner",
         ),
-        encoding="freq" if variant == "tpu" else "hash",
+        grid=GridEncodingConfig(
+            num_levels=16, table_size=grid_table_size, base_res=16,
+            max_res=4096,
+        ),
+        encoding=_encoding_for(variant),
         pos_frequencies=14,
         hidden_dim=128,
         geo_feat_dim=30,
@@ -175,28 +186,36 @@ def fruit_nerf_big(
         num_proposal_samples=(512, 256),
         proposal_weights_anneal_max_num_iters=5000,
     )
-    if variant == "tpu":
+    if variant in ("tpu", "grid"):
         model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
     radam = OptimizerConfig(name="radam")
     if variant == "tpu":
         radam = dataclasses.replace(radam, lr_init=1e-3, lr_final=1e-5)
+    # grid variant: tables keep the reference's sparse-update rate (radam
+    # 1e-2); the freq proposal MLPs need the classic-NeRF rate
+    prop = (
+        dataclasses.replace(radam, lr_init=1e-3, lr_final=1e-5)
+        if variant == "grid" else radam
+    )
     return TrainConfig(
         preset="fruit_nerf_big",
         model=model,
         max_iters=100000,
         train_rays_per_batch=8192,
         fields_opt=radam,
-        proposal_opt=radam,
+        proposal_opt=prop,
         train_split_fraction=0.99,
         max_train_images=200,
     )
 
 
 def fruit_nerf_huge(
-    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "tpu"
+    num_images: int, compute_dtype=jnp.bfloat16, variant: str = "grid",
+    grid_table_size: int = 16384,
 ) -> TrainConfig:
     """Huge preset (fruit_nerf_config.py:113-164): 16384 rays, 64 nerf samples,
     proposal (512,512) with beefier 2-level proposal nets, hidden 256,
+    max_res 8192. Grid variant mirrors fruit_nerf_big's small-table design at
     max_res 8192."""
     field = _field(
         num_images,
@@ -204,7 +223,11 @@ def fruit_nerf_huge(
             num_levels=16, log2_hashmap_size=21, base_res=16, max_res=8192,
             mode="cell" if variant == "tpu" else "corner",
         ),
-        encoding="freq" if variant == "tpu" else "hash",
+        grid=GridEncodingConfig(
+            num_levels=16, table_size=grid_table_size, base_res=16,
+            max_res=8192,
+        ),
+        encoding=_encoding_for(variant),
         pos_frequencies=14,
         hidden_dim=256,
         geo_feat_dim=30,
@@ -232,18 +255,22 @@ def fruit_nerf_huge(
         ),
         proposal_weights_anneal_max_num_iters=5000,
     )
-    if variant == "tpu":
+    if variant in ("tpu", "grid"):
         model = dataclasses.replace(model, proposal_nets=TPU_PROPOSAL_NETS)
     radam = OptimizerConfig(name="radam")
     if variant == "tpu":
         radam = dataclasses.replace(radam, lr_init=1e-3, lr_final=1e-5)
+    prop = (
+        dataclasses.replace(radam, lr_init=1e-3, lr_final=1e-5)
+        if variant == "grid" else radam
+    )
     return TrainConfig(
         preset="fruit_nerf_huge",
         model=model,
         max_iters=100000,
         train_rays_per_batch=16384,
         fields_opt=radam,
-        proposal_opt=radam,
+        proposal_opt=prop,
         train_split_fraction=0.99,
         max_train_images=200,
     )

@@ -18,11 +18,12 @@ def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
         return points
     from .. import native
 
-    means = native.voxel_downsample(np.asarray(points), voxel_size)
-    if means is not None:
-        # native emits hash order; restore the key-lexicographic contract
-        # (mean lies inside its voxel, so keys are recoverable)
-        k = np.floor(means / voxel_size).astype(np.int64)
+    res = native.voxel_downsample(np.asarray(points), voxel_size)
+    if res is not None:
+        # native emits hash order with the exact integer keys; lexsort on
+        # those restores the key-lexicographic contract (re-deriving keys
+        # from rounded float means can cross a voxel face)
+        means, k = res
         return means[np.lexsort((k[:, 2], k[:, 1], k[:, 0]))]
     keys = np.floor(points / voxel_size).astype(np.int64)
     # lexicographic unique via structured view

@@ -248,8 +248,22 @@ def build_step_fn(config: TrainConfig, mesh=None):
                 dens, _ = get_density(
                     params["model"]["field"], pts, mc.field, contraction=True
                 )
+                occ = 1.0 - jnp.exp(-dens * mc.sparsity_cell)
+                if mc.sparsity_unobserved_boost > 1.0:
+                    # boost the prior where NO training frustum sees the
+                    # point: fog there is photometrically unsupervised and
+                    # must be carved by the prior alone (sparse captures)
+                    from ..cameras.cameras import frustum_coverage
+
+                    cov = frustum_coverage(
+                        data.cameras, pts, camera_indices=data.train_indices
+                    )
+                    w_sp = jnp.where(
+                        cov > 0, 1.0, mc.sparsity_unobserved_boost
+                    )
+                    occ = occ * w_sp
                 losses["sparsity_loss"] = mc.density_sparsity_mult * jnp.mean(
-                    1.0 - jnp.exp(-dens * mc.sparsity_cell)
+                    occ
                 )
             total = sum(losses.values())
             metrics = metrics_dict(outputs, rgb_gt)

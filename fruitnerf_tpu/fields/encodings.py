@@ -268,11 +268,13 @@ class GridEncodingConfig:
     deliberately small (2^13 vs the reference's 2^19-2^21) because the MXU
     formulation costs 16*F*T FLOPs per (point, level) — capacity trades
     linearly against step time, and is validated by PSNR (configs variant
-    "grid")."""
+    "grid"). Cell mode sizes each level's table at
+    min(table_size, pow2ceil(res^3)) so coarse/direct levels stop paying the
+    full-table cost (ops/pallas/hash_grid.cell_level_layout)."""
 
     num_levels: int = 16
     features_per_level: int = 2
-    table_size: int = 8192  # must be a multiple of 128 (the hi-radix width)
+    table_size: int = 8192  # power of two >= 128 (validated below)
     base_res: int = 16
     max_res: int = 2048
     # "cell": one lookup per (point, level), 8 corner features packed in one
@@ -281,6 +283,28 @@ class GridEncodingConfig:
     mode: str = "cell"
     needs_pos_grad: bool = True  # camera-opt gradients flow through positions
     block_points: int = 1024
+    # cell mode: contraction width of the one-hot radix split. The VPU cost
+    # per (point, level) is 2*K + 2*(16*T/K) lanes, minimized near
+    # K = sqrt(16*T); 512 is the sweet spot for T = 4096-16384.
+    radix: int = 512
+
+    def __post_init__(self):
+        t = self.table_size
+        if t < 128 or (t & (t - 1)) != 0:
+            raise ValueError(
+                f"GridEncodingConfig.table_size must be a power of two >= 128 "
+                f"(the kernel resolves indices with bit masks); got {t}"
+            )
+        r = self.radix
+        if r < 128 or (r & (r - 1)) != 0:
+            raise ValueError(
+                f"GridEncodingConfig.radix must be a power of two >= 128; got {r}"
+            )
+        if self.mode == "cell" and self.features_per_level != 2:
+            raise ValueError(
+                "cell mode packs 8 corners x F=2 features into 16-lane rows; "
+                f"features_per_level must be 2, got {self.features_per_level}"
+            )
 
     @property
     def row_width(self) -> int:
@@ -312,38 +336,71 @@ class GridEncodingConfig:
             for lvl in range(self.num_levels)
         )
 
+    def level_layout(self):
+        """Cell mode: per-level (T_l, K_l, LO_l, use_direct)."""
+        from ..ops.pallas.hash_grid import cell_level_layout
 
-def init_grid_table(key: jax.Array, config: GridEncodingConfig) -> jnp.ndarray:
-    """[L, 128, row_width] kernel-layout table, uniform(-1e-4, 1e-4)."""
+        return cell_level_layout(
+            self.level_resolutions(), self.table_size, self.radix
+        )
+
+
+def init_grid_table(key: jax.Array, config: GridEncodingConfig):
+    """Kernel-layout table(s), uniform(-1e-4, 1e-4) like instant-ngp/tcnn.
+
+    corner mode: one [L, 128, row_width] array.
+    cell mode: tuple of per-level [K_l, LO_l*16] arrays (per-level sizing)."""
     from ..ops.pallas.hash_grid import HI
 
-    shape = (config.num_levels, HI, config.row_width)
-    return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
+    if config.mode == "corner":
+        shape = (config.num_levels, HI, config.row_width)
+        return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
+    keys = jax.random.split(key, config.num_levels)
+    return tuple(
+        jax.random.uniform(
+            keys[lvl], (k_l, lo_l * 16), jnp.float32, -1e-4, 1e-4
+        )
+        for lvl, (t_l, k_l, lo_l, _) in enumerate(config.level_layout())
+    )
 
 
 def grid_encode(
-    table: jnp.ndarray,
+    table,
     positions: jnp.ndarray,
     config: GridEncodingConfig,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """positions [..., 3] in [0,1]^3 -> features [..., L*F] via the Pallas
-    small-table kernel (trilinear, corner semantics)."""
-    from ..ops.pallas.hash_grid import grid_encode_flat
-
+    small-table kernels (trilinear)."""
     batch_shape = positions.shape[:-1]
     pos = positions.reshape(-1, 3)
-    out = grid_encode_flat(
-        table,
-        pos,
-        config.level_resolutions(),
-        config.table_size,
-        config.features_per_level,
-        config.mode,
-        jnp.dtype(compute_dtype).name,
-        config.needs_pos_grad,
-        config.block_points,
-    )
+    if config.mode == "cell":
+        from ..ops.pallas.hash_grid import cell_encode
+
+        out = cell_encode(
+            tuple(table),
+            pos,
+            config.level_resolutions(),
+            config.table_size,
+            config.radix,
+            jnp.dtype(compute_dtype).name,
+            config.needs_pos_grad,
+            config.block_points,
+        )
+    else:
+        from ..ops.pallas.hash_grid import grid_encode_flat
+
+        out = grid_encode_flat(
+            table,
+            pos,
+            config.level_resolutions(),
+            config.table_size,
+            config.features_per_level,
+            config.mode,
+            jnp.dtype(compute_dtype).name,
+            config.needs_pos_grad,
+            config.block_points,
+        )
     return out.reshape(*batch_shape, config.out_dim)
 
 

@@ -79,30 +79,15 @@ def apply_mlp_fast(
     config: MLPConfig,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """apply_mlp, optionally via the fused Pallas kernel (FRUITNERF_PALLAS_MLP=1).
+    """Alias of apply_mlp, kept as the field-side call site.
 
-    Measured end-to-end on v5e the XLA path wins for these narrow MLPs inside
-    the full train graph: the custom_vjp boundary blocks producer/consumer
-    fusion and the backward kernel's cross-block dW accumulation serializes
-    its grid (61K vs 372K rays/s on the flagship bench). The kernel stays as
-    the foundation for a future fused encode+MLP+composite megakernel, where
-    fusion across the whole field pass tips the balance.
+    A fused Pallas MLP kernel lived behind this switch through round 2 and
+    measured 6x SLOWER end-to-end than XLA for these narrow MLPs (61K vs
+    372K rays/s on the flagship bench): the custom_vjp boundary blocks
+    producer/consumer fusion and the backward's cross-block dW accumulation
+    serializes its grid. It was deleted in round 3 — the tcnn fused-MLP
+    analog (fruit_field.py:94) is XLA's own dot fusion here, and the
+    round-3 grid-kernel profile shows the field pass is VPU-bound with MXU
+    headroom, so a megakernel has nothing left to win.
     """
-    import os
-
-    rows = 1
-    for d in x.shape[:-1]:
-        rows *= d
-    use_pallas = (
-        os.environ.get("FRUITNERF_PALLAS_MLP") == "1"
-        and jax.devices()[0].platform == "tpu"
-        and config.num_layers >= 2
-        and rows >= 1 << 15
-        and max(config.in_dim, config.hidden_dim, config.out_dim) <= 512
-        and config.activation == "relu"
-    )
-    if not use_pallas:
-        return apply_mlp(params, x, config, compute_dtype)
-    from ..ops.pallas.fused_mlp import fused_apply_mlp
-
-    return fused_apply_mlp(params, x, config, compute_dtype)
+    return apply_mlp(params, x, config, compute_dtype)

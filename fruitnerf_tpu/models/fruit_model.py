@@ -94,6 +94,13 @@ class FruitModelConfig:
     sparsity_num_points: int = 4096
     sparsity_extent: float = 2.0  # half-width of the sampled world box
     sparsity_cell: float = 0.01  # occupancy cell size (typ. sample spacing)
+    # Extra multiplier on the sparsity prior at points OUTSIDE every training
+    # camera's frustum. Such columns receive zero photometric supervision, so
+    # residual init fog there survives sparse captures (<~60 hemisphere
+    # cameras leave inter-frustum gaps — NOTES_ROUND2 capture-density
+    # analysis); inside frustums the prior stays at 1x so observed content is
+    # untouched. 1.0 = off.
+    sparsity_unobserved_boost: float = 8.0
     # proposal annealing / update cadence (fruit_nerf.py:191-223)
     use_proposal_weight_anneal: bool = True
     proposal_weights_anneal_max_num_iters: int = 1000

@@ -67,7 +67,7 @@ def load():
     lib.fn_radius_outlier.restype = ctypes.c_int
     lib.fn_dbscan.argtypes = [pf, i64, f32, i32, pi]
     lib.fn_dbscan.restype = ctypes.c_int
-    lib.fn_voxel_downsample.argtypes = [pf, i64, f32, pf, pi64]
+    lib.fn_voxel_downsample.argtypes = [pf, i64, f32, pf, pi64, pi64]
     lib.fn_voxel_downsample.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -112,13 +112,20 @@ def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray | Non
     return labels
 
 
-def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray | None:
+def voxel_downsample(
+    points: np.ndarray, voxel: float
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Returns (means [m,3] f32, voxel keys [m,3] i64) in hash order; the
+    exact integer keys let callers sort deterministically (deriving keys from
+    the rounded float means can land boundary voxels in the neighbor cell)."""
     lib = load()
     if lib is None:
         return None
     pts = _as_f32(points)
     out = np.empty_like(pts)
+    keys = np.empty((len(pts), 3), np.int64)
     out_n = np.zeros(1, np.int64)
-    if lib.fn_voxel_downsample(pts, len(pts), voxel, out, out_n) != 0:
+    if lib.fn_voxel_downsample(pts, len(pts), voxel, out, keys, out_n) != 0:
         return None
-    return out[: int(out_n[0])].copy()
+    m = int(out_n[0])
+    return out[:m].copy(), keys[:m].copy()

@@ -191,25 +191,31 @@ int fn_dbscan(const float* pts, int64_t n, float eps, int32_t min_samples,
   return 0;
 }
 
-// out_pts must hold n*3 floats; returns #voxels written via out_n.
+// out_pts must hold n*3 floats, out_keys n*3 int64s (the integer voxel
+// coordinates, so callers can re-establish a deterministic order without
+// re-deriving keys from rounded float means); returns #voxels via out_n.
 // Voxel order is unspecified (hash order); callers must not rely on it.
 int fn_voxel_downsample(const float* pts, int64_t n, float voxel,
-                        float* out_pts, int64_t* out_n) {
+                        float* out_pts, int64_t* out_keys, int64_t* out_n) {
   if (voxel <= 0) return -1;
   struct Acc {
     double s[3] = {0, 0, 0};
+    int64_t k[3] = {0, 0, 0};
     int64_t c = 0;
   };
   std::unordered_map<int64_t, Acc> acc;
   acc.reserve(n);
   for (int64_t i = 0; i < n; ++i) {
-    int64_t key = Grid::pack((int64_t)std::floor(pts[3 * i] / voxel),
-                             (int64_t)std::floor(pts[3 * i + 1] / voxel),
-                             (int64_t)std::floor(pts[3 * i + 2] / voxel));
-    Acc& a = acc[key];
+    int64_t kx = (int64_t)std::floor(pts[3 * i] / voxel);
+    int64_t ky = (int64_t)std::floor(pts[3 * i + 1] / voxel);
+    int64_t kz = (int64_t)std::floor(pts[3 * i + 2] / voxel);
+    Acc& a = acc[Grid::pack(kx, ky, kz)];
     a.s[0] += pts[3 * i];
     a.s[1] += pts[3 * i + 1];
     a.s[2] += pts[3 * i + 2];
+    a.k[0] = kx;
+    a.k[1] = ky;
+    a.k[2] = kz;
     ++a.c;
   }
   int64_t m = 0;
@@ -217,6 +223,9 @@ int fn_voxel_downsample(const float* pts, int64_t n, float voxel,
     out_pts[3 * m] = (float)(kv.second.s[0] / kv.second.c);
     out_pts[3 * m + 1] = (float)(kv.second.s[1] / kv.second.c);
     out_pts[3 * m + 2] = (float)(kv.second.s[2] / kv.second.c);
+    out_keys[3 * m] = kv.second.k[0];
+    out_keys[3 * m + 1] = kv.second.k[1];
+    out_keys[3 * m + 2] = kv.second.k[2];
     ++m;
   }
   *out_n = m;

@@ -283,7 +283,506 @@ def _bwd_kernel(lo_size, features, table_size, num_levels, cdt,
 
 
 # ---------------------------------------------------------------------------
-# Cell mode (one lookup per point-level; the flagship fast path)
+# Cell mode v2 (the flagship fast path)
+#
+# Differences from the round-2 cell kernels (kept below for corner mode):
+#   * parametric radix split: idx = hi*LO + lo with contraction width
+#     K = T/LO chosen near sqrt(16*T) instead of the fixed 128. The VPU cost
+#     per (point, level) is 2*K (one-hot build) + 2*W (lo-lane mask) with
+#     W = LO*16; K=128 gives 2304 lanes, K=512 gives 1536 — the wide mask
+#     ops, not the MXU matmuls, bound the round-2 kernel (measured 13.8 ms
+#     fwd at P=196K).
+#   * per-level table sizes T_l = min(T, pow2ceil(res_l^3)): coarse/direct
+#     levels stop paying the full-table matmul+mask.
+#   * levels are unrolled INSIDE one kernel program (grid = point blocks
+#     only): per-level resolutions become python constants (no SMEM), every
+#     table stays VMEM-resident across the block grid, and outputs are
+#     written exactly once (the round-2 [BP, L*F] `+=` revisits are gone).
+#   * the backward reads NO tables at all: the forward's vjp variant saves
+#     the gathered per-cell rows (bf16 [P, 16L]), so dPositions chains
+#     through saved rows and dTable is a pure histogram matmul.
+# ---------------------------------------------------------------------------
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+def cell_level_layout(resolutions, table_size: int, radix: int):
+    """Per-level (T_l, K_l, LO_l, use_direct). T_l = min(table_size,
+    pow2ceil(res^3)) with a floor of 128; direct (collision-free) indexing
+    whenever the dense cell grid fits."""
+    out = []
+    for res in resolutions:
+        cells = int(res) ** 3
+        t_l = max(128, min(int(table_size), _pow2ceil(cells)))
+        use_direct = cells <= t_l
+        k_l = min(int(radix), t_l)
+        lo_l = t_l // k_l
+        out.append((t_l, k_l, lo_l, use_direct))
+    return tuple(out)
+
+
+def _iota_eq(shape, dim, value_fn, cdt):
+    """One-hot-ish constant from a broadcasted iota (kernels cannot capture
+    constant arrays)."""
+    it = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    return value_fn(it).astype(cdt)
+
+
+def _k_mat(cdt):
+    """[8, 16] corner->slot replication: K[c, j] = ((j >> 1) == c)."""
+    k_rows = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 0)
+    k_cols = jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1)
+    return ((k_cols >> 1) == k_rows).astype(cdt)
+
+
+def _m2_mat(cdt):
+    """[16, 2] slot->feature fold: M2[j, f] = ((j & 1) == f)."""
+    m_rows = jax.lax.broadcasted_iota(jnp.int32, (16, 2), 0)
+    m_cols = jax.lax.broadcasted_iota(jnp.int32, (16, 2), 1)
+    return ((m_rows & 1) == m_cols).astype(cdt)
+
+
+def _s_mat(width, cdt):
+    """[W, 16] wide->slot reduction: S[m, j] = ((m & 15) == j)."""
+    s_rows = jax.lax.broadcasted_iota(jnp.int32, (width, 16), 0)
+    s_cols = jax.lax.broadcasted_iota(jnp.int32, (width, 16), 1)
+    return ((s_rows & 15) == s_cols).astype(cdt)
+
+
+def _put16(rows16, lvl, num_levels):
+    """rows16 [BP, 16] -> [BP, 16L] placed at lanes lvl*16.. (tiny matmul)."""
+    w = 16 * num_levels
+    erow = jax.lax.broadcasted_iota(jnp.int32, (16, w), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (16, w), 1)
+    e_put = (ecol == lvl * 16 + erow).astype(jnp.float32)
+    return jnp.dot(rows16, e_put, preferred_element_type=jnp.float32)
+
+
+def _get16(rows, lvl, num_levels):
+    """rows [BP, 16L] -> [BP, 16], the lvl-th 16-lane group."""
+    w = 16 * num_levels
+    erow = jax.lax.broadcasted_iota(jnp.int32, (w, 16), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (w, 16), 1)
+    e_get = (erow == lvl * 16 + ecol).astype(jnp.float32)
+    return jnp.dot(rows, e_get, preferred_element_type=jnp.float32)
+
+
+def _cell2_meta(layout) -> np.ndarray:
+    """[8, L] int32 per-level constants consumed by the wide coord stage:
+    rows = (res, hash mask T-1, direct flag, hi shift log2(LO), lo mask LO-1).
+    Passed as a kernel INPUT — kernels cannot capture constant arrays, and
+    these values (arbitrary ints) are not iota-expressible."""
+    resolutions, t_sizes = layout
+    l_ = len(resolutions)
+    meta = np.zeros((8, l_), np.int32)
+    for lvl, res in enumerate(resolutions):
+        t_l, k_l, lo_l, use_direct = t_sizes[lvl]
+        meta[0, lvl] = res
+        meta[1, lvl] = t_l - 1
+        meta[2, lvl] = 1 if use_direct else 0
+        meta[3, lvl] = _log2(lo_l)
+        meta[4, lvl] = lo_l - 1
+    return meta
+
+
+def _wide_coords(pos, meta, num_levels):
+    """All-level cell coords in WIDE [BP, L] arrays.
+
+    The round-2 kernels recomputed per-level coords as [BP,1]/[BP,3] column
+    ops; on TPU every vector op costs a full (8,128) tile per 8 rows
+    regardless of width, so ~25 narrow ops x 16 levels dominated the kernel
+    (measured: bwd 19.6 ms of which the histogram matmul accounts for <8).
+    One [BP, L] op covers every level for the same cost as one [BP, 1] op.
+
+    Returns (idx_all, hi_all, lo_all int32 [BP, L]; xs, ys, zs f32 [BP, L]).
+    """
+    res_i = meta[0:1, :]  # [1, L]
+    res_f = res_i.astype(jnp.float32)
+    sx = pos[:, 0:1] * res_f
+    sy = pos[:, 1:2] * res_f
+    sz = pos[:, 2:3] * res_f
+    fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+    xs, ys, zs = sx - fx, sy - fy, sz - fz
+    ix = fx.astype(jnp.int32)
+    iy = fy.astype(jnp.int32)
+    iz = fz.astype(jnp.int32)
+    hashed = (ix ^ (iy * _P1) ^ (iz * _P2)) & meta[1:2, :]
+    direct = ix + iy * res_i + iz * res_i * res_i
+    idx_all = jnp.where(meta[2:3, :] != 0, direct, hashed)
+    hi_all = jax.lax.shift_right_logical(
+        idx_all, jnp.broadcast_to(meta[3:4, :], idx_all.shape)
+    )
+    lo_all = idx_all & meta[4:5, :]
+    return idx_all, hi_all, lo_all, xs, ys, zs
+
+
+def _spread16_to_128(num_levels, cdt=jnp.float32):
+    """[L, 8L] iota matmul constant: lane m of the result takes level m>>3."""
+    l_ = num_levels
+    r = jax.lax.broadcasted_iota(jnp.int32, (l_, 8 * l_), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (l_, 8 * l_), 1)
+    return ((m >> 3) == r).astype(cdt)
+
+
+def _corner_bits_wide(bp, num_levels):
+    """Lane layout l*8+c: corner bit planes [BP, 8L] from iota."""
+    m = jax.lax.broadcasted_iota(jnp.int32, (bp, 8 * num_levels), 1)
+    c = m & 7
+    cx = ((c >> 2) & 1).astype(jnp.float32)
+    cy = ((c >> 1) & 1).astype(jnp.float32)
+    cz = (c & 1).astype(jnp.float32)
+    return cx, cy, cz
+
+
+def _wide_weights(xs, ys, zs, num_levels, with_grads):
+    """Trilinear corner weights for all levels at once: [BP, 8L], lane
+    l*8 + corner (corner = cx*4 + cy*2 + cz, matching _corner_bits)."""
+    bp = xs.shape[0]
+    rx = _spread16_to_128(num_levels)
+    xs_r = jnp.dot(xs, rx, preferred_element_type=jnp.float32)
+    ys_r = jnp.dot(ys, rx, preferred_element_type=jnp.float32)
+    zs_r = jnp.dot(zs, rx, preferred_element_type=jnp.float32)
+    cx, cy, cz = _corner_bits_wide(bp, num_levels)
+    wx = jnp.where(cx > 0, xs_r, 1.0 - xs_r)
+    wy = jnp.where(cy > 0, ys_r, 1.0 - ys_r)
+    wz = jnp.where(cz > 0, zs_r, 1.0 - zs_r)
+    w8_all = wx * wy * wz  # [BP, 8L]
+    if not with_grads:
+        return w8_all, None
+    gx = (2.0 * cx - 1.0) * wy * wz
+    gy = (2.0 * cy - 1.0) * wx * wz
+    gz = (2.0 * cz - 1.0) * wx * wy
+    return w8_all, (gx, gy, gz)
+
+
+def _rep2(num_levels, cdt=jnp.float32):
+    """[8L, 16L] iota matmul constant: w_rep[m] = w8[m >> 1]."""
+    l_ = num_levels
+    r = jax.lax.broadcasted_iota(jnp.int32, (8 * l_, 16 * l_), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (8 * l_, 16 * l_), 1)
+    return ((m >> 1) == r).astype(cdt)
+
+
+def _fold2(num_levels, cdt=jnp.float32):
+    """[16L, 8L] iota matmul constant: out[s] = sum of lanes 2s, 2s+1."""
+    l_ = num_levels
+    r = jax.lax.broadcasted_iota(jnp.int32, (16 * l_, 8 * l_), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (16 * l_, 8 * l_), 1)
+    return ((r >> 1) == s).astype(cdt)
+
+
+def _g_spread(num_levels, cdt=jnp.float32):
+    """[2L, 16L]: dprod[m] = g[(m>>4)*2 + (m&1)] (level-major 16-lane rows)."""
+    l_ = num_levels
+    r = jax.lax.broadcasted_iota(jnp.int32, (2 * l_, 16 * l_), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (2 * l_, 16 * l_), 1)
+    return (r == ((m >> 4) * 2 + (m & 1))).astype(cdt)
+
+
+def _m2l_mat(num_levels):
+    """[16L, 2L] block-diagonal fold: out[l*2+f] = sum_c prod[l*16+c*2+f]."""
+    l_ = num_levels
+    r = jax.lax.broadcasted_iota(jnp.int32, (16 * l_, 2 * l_), 0)
+    o = jax.lax.broadcasted_iota(jnp.int32, (16 * l_, 2 * l_), 1)
+    return (((r >> 4) == (o >> 1)) & ((r & 1) == (o & 1))).astype(jnp.float32)
+
+
+def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, refs):
+    """refs = (meta_ref, pos_ref, tbl_0..tbl_{L-1}, out_ref[, rows_ref])."""
+    meta_ref = refs[0]
+    pos_ref = refs[1]
+    tbl_refs = refs[2 : 2 + num_levels]
+    out_ref = refs[2 + num_levels]
+    rows_ref = refs[3 + num_levels] if save_rows else None
+
+    pos = pos_ref[:].astype(jnp.float32)
+    bp = pos.shape[0]
+    _, t_sizes = layout
+
+    # all-level coords + trilinear weights in WIDE arrays (see _wide_coords)
+    _, hi_all, lo_all, xs, ys, zs = _wide_coords(pos, meta_ref[:], num_levels)
+    w8_all, _ = _wide_weights(xs, ys, zs, num_levels, with_grads=False)
+    w_rep_all = jnp.dot(w8_all, _rep2(num_levels),
+                        preferred_element_type=jnp.float32)  # [BP, 16L]
+
+    rows_acc = jnp.zeros((bp, num_levels * 16), jnp.float32)
+    for lvl in range(num_levels):
+        t_l, k_l, lo_l, _ = t_sizes[lvl]
+        width = lo_l * 16
+        hi = hi_all[:, lvl : lvl + 1]
+        lanes_hi = jax.lax.broadcasted_iota(jnp.int32, (bp, k_l), 1)
+        oh = (hi == lanes_hi).astype(cdt)
+        d = jnp.dot(oh, tbl_refs[lvl][:],
+                    preferred_element_type=jnp.float32)  # [BP, W]
+        if lo_l > 1:
+            lo = lo_all[:, lvl : lvl + 1]
+            lo_of_lane = (
+                jax.lax.broadcasted_iota(jnp.int32, (bp, width), 1) >> 4
+            )
+            e = jnp.where(lo_of_lane == lo, d, 0.0)
+            rows16 = jnp.dot(e.astype(cdt), _s_mat(width, cdt),
+                             preferred_element_type=jnp.float32)  # [BP, 16]
+        else:
+            rows16 = d  # W == 16: the matmul output IS the cell row
+        rows_acc = rows_acc + _put16(rows16, lvl, num_levels)
+
+    # one wide weight-multiply + one block-diag fold replace per-level
+    # (mult, m2, placement) chains
+    out_ref[:] = jnp.dot(rows_acc * w_rep_all, _m2l_mat(num_levels),
+                         preferred_element_type=jnp.float32)
+    if save_rows:
+        rows_ref[:] = rows_acc.astype(rows_ref.dtype)
+
+
+def _cell2_bwd_kernel(layout, num_levels, cdt, needs_pos_grad, refs):
+    """refs = (meta_ref, pos_ref, g_ref[, rows_ref], dtbl_0.., dpos_ref)."""
+    i_blk = pl.program_id(0)
+    meta_ref = refs[0]
+    pos_ref = refs[1]
+    g_ref = refs[2]
+    off = 3
+    rows_ref = None
+    if needs_pos_grad:
+        rows_ref = refs[3]
+        off = 4
+    dtbl_refs = refs[off : off + num_levels]
+    dpos_ref = refs[off + num_levels]
+
+    pos = pos_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    bp = pos.shape[0]
+    _, t_sizes = layout
+    meta = meta_ref[:]
+
+    _, hi_all, lo_all, xs, ys, zs = _wide_coords(pos, meta, num_levels)
+    w8_all, grads = _wide_weights(xs, ys, zs, num_levels,
+                                  with_grads=needs_pos_grad)
+    w_rep_all = jnp.dot(w8_all, _rep2(num_levels),
+                        preferred_element_type=jnp.float32)  # [BP, 16L]
+    # dprod_all[b, l*16+j] = g[b, l*2 + (j&1)]
+    dprod_all = jnp.dot(g, _g_spread(num_levels),
+                        preferred_element_type=jnp.float32)  # [BP, 16L]
+    de_all = dprod_all * w_rep_all  # d(loss)/d(cell rows), all levels
+
+    for lvl in range(num_levels):
+        t_l, k_l, lo_l, _ = t_sizes[lvl]
+        width = lo_l * 16
+        hi = hi_all[:, lvl : lvl + 1]
+        lanes_hi = jax.lax.broadcasted_iota(jnp.int32, (bp, k_l), 1)
+        oh = (hi == lanes_hi).astype(cdt)
+        de16 = _get16(de_all, lvl, num_levels)  # [BP, 16]
+        if lo_l > 1:
+            lo = lo_all[:, lvl : lvl + 1]
+            lo_of_lane = (
+                jax.lax.broadcasted_iota(jnp.int32, (bp, width), 1) >> 4
+            )
+            z_full = jax.lax.dot_general(
+                de16.astype(cdt), _s_mat(width, cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BP, W]: z_full[b, m] = de16[b, m & 15]
+            z = jnp.where(lo_of_lane == lo, z_full, 0.0).astype(cdt)
+        else:
+            z = de16.astype(cdt)
+        dtbl_acc = jax.lax.dot_general(
+            oh, z, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [K, W]
+
+        @pl.when(i_blk == 0)
+        def _init(lvl=lvl, dtbl_acc=dtbl_acc):
+            dtbl_refs[lvl][:] = dtbl_acc
+
+        @pl.when(i_blk != 0)
+        def _accum(lvl=lvl, dtbl_acc=dtbl_acc):
+            dtbl_refs[lvl][:] += dtbl_acc
+
+    if needs_pos_grad:
+        gx, gy, gz = grads
+        rows_all = rows_ref[:].astype(jnp.float32)
+        t_all = dprod_all * rows_all  # [BP, 16L]
+        dw8_all = jnp.dot(t_all, _fold2(num_levels),
+                          preferred_element_type=jnp.float32)  # [BP, 8L]
+        # chain rule: d(pos)/d(frac) multiplies each level's grads by res_l
+        res_rep = jnp.dot(
+            meta[0:1, :].astype(jnp.float32), _spread16_to_128(num_levels),
+            preferred_element_type=jnp.float32,
+        )  # [1, 8L]
+        dwr = dw8_all * res_rep
+        ones = jnp.ones((8 * num_levels, 1), jnp.float32)
+        dtx = jnp.dot(gx * dwr, ones, preferred_element_type=jnp.float32)
+        dty = jnp.dot(gy * dwr, ones, preferred_element_type=jnp.float32)
+        dtz = jnp.dot(gz * dwr, ones, preferred_element_type=jnp.float32)
+        dpos_ref[:] = jnp.concatenate([dtx, dty, dtz], axis=1)
+    else:
+        dpos_ref[:] = jnp.zeros((bp, 3), jnp.float32)
+
+
+def _cell2_fwd_impl(tables, positions, resolutions, table_size, radix,
+                    compute_dtype_name, block_points, save_rows):
+    cdt = jnp.dtype(compute_dtype_name)
+    num_levels = len(resolutions)
+    t_sizes = cell_level_layout(resolutions, table_size, radix)
+    layout = (tuple(int(r) for r in resolutions), t_sizes)
+    posp, p = _pad_points(positions.astype(jnp.float32), block_points)
+    nb = posp.shape[0] // block_points
+    # cast tables ONCE outside the kernel (an in-kernel per-block cast would
+    # re-pay K*W lanes per (block, level))
+    tables = tuple(t.astype(cdt) for t in tables)
+
+    kern = functools.partial(_cell2_fwd_kernel, layout, num_levels, cdt,
+                             save_rows)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((posp.shape[0], num_levels * 2), jnp.float32)
+    ]
+    out_specs = [
+        pl.BlockSpec((block_points, num_levels * 2), lambda i: (i, 0))
+    ]
+    if save_rows:
+        # rows residual in the compute dtype: bf16 halves the HBM round trip
+        # for the flagship; f32 keeps the CPU/parity path grad-exact
+        out_shapes.append(
+            jax.ShapeDtypeStruct((posp.shape[0], num_levels * 16), cdt)
+        )
+        out_specs.append(
+            pl.BlockSpec((block_points, num_levels * 16), lambda i: (i, 0))
+        )
+
+    meta = jnp.asarray(_cell2_meta(layout))
+    in_specs = [
+        pl.BlockSpec(meta.shape, lambda i: (0, 0)),
+        pl.BlockSpec((block_points, 3), lambda i: (i, 0)),
+    ]
+    for t in tables:
+        in_specs.append(pl.BlockSpec(t.shape, lambda i: (0, 0)))
+
+    res = pl.pallas_call(
+        lambda *refs: kern(refs),
+        out_shape=tuple(out_shapes) if save_rows else out_shapes[0],
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if save_rows else out_specs[0],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(meta, posp, *tables)
+    if save_rows:
+        out, rows = res
+        return out[:p], rows
+    return res[:p]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def cell_encode(tables, positions, resolutions, table_size, radix,
+                compute_dtype_name, needs_pos_grad, block_points):
+    """tables: tuple of per-level [K_l, LO_l*16] f32 arrays (layout from
+    ``cell_level_layout``); positions [P, 3] in [0,1]^3 -> [P, L*2] f32."""
+    return _cell2_fwd_impl(tables, positions, resolutions, table_size, radix,
+                           compute_dtype_name, block_points, save_rows=False)
+
+
+def _cell_encode_fwd(tables, positions, resolutions, table_size, radix,
+                     compute_dtype_name, needs_pos_grad, block_points):
+    if needs_pos_grad:
+        out, rows = _cell2_fwd_impl(
+            tables, positions, resolutions, table_size, radix,
+            compute_dtype_name, block_points, save_rows=True,
+        )
+        return out, (positions, rows)
+    out = _cell2_fwd_impl(
+        tables, positions, resolutions, table_size, radix,
+        compute_dtype_name, block_points, save_rows=False,
+    )
+    return out, (positions, None)
+
+
+def _cell_encode_bwd(resolutions, table_size, radix, compute_dtype_name,
+                     needs_pos_grad, block_points, residuals, g):
+    positions, rows = residuals
+    cdt = jnp.dtype(compute_dtype_name)
+    num_levels = len(resolutions)
+    t_sizes = cell_level_layout(resolutions, table_size, radix)
+    layout = (tuple(int(r) for r in resolutions), t_sizes)
+    posp, p = _pad_points(positions.astype(jnp.float32), block_points)
+    gp, _ = _pad_points(g.astype(jnp.float32), block_points)
+    nb = posp.shape[0] // block_points
+
+    kern = functools.partial(_cell2_bwd_kernel, layout, num_levels, cdt,
+                             needs_pos_grad)
+
+    meta = jnp.asarray(_cell2_meta(layout))
+    in_specs = [
+        pl.BlockSpec(meta.shape, lambda i: (0, 0)),
+        pl.BlockSpec((block_points, 3), lambda i: (i, 0)),
+        pl.BlockSpec((block_points, num_levels * 2), lambda i: (i, 0)),
+    ]
+    operands = [meta, posp, gp]
+    if needs_pos_grad:
+        rowsp, _ = _pad_points(rows, block_points)
+        in_specs.append(
+            pl.BlockSpec((block_points, num_levels * 16), lambda i: (i, 0))
+        )
+        operands.append(rowsp)
+
+    out_shapes = []
+    out_specs = []
+    for t_l, k_l, lo_l, _ in t_sizes:
+        out_shapes.append(jax.ShapeDtypeStruct((k_l, lo_l * 16), jnp.float32))
+        out_specs.append(pl.BlockSpec((k_l, lo_l * 16), lambda i: (0, 0)))
+    out_shapes.append(jax.ShapeDtypeStruct(posp.shape, jnp.float32))
+    out_specs.append(pl.BlockSpec((block_points, 3), lambda i: (i, 0)))
+
+    res = pl.pallas_call(
+        lambda *refs: kern(refs),
+        out_shape=tuple(out_shapes),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(*operands)
+    dtables = tuple(res[:num_levels])
+    dpos = res[num_levels][:p]
+    return dtables, dpos
+
+
+cell_encode.defvjp(_cell_encode_fwd, _cell_encode_bwd)
+
+
+def cell_encode_ref(tables, positions, resolutions, table_size, radix):
+    """XLA oracle for cell mode v2. Per-level table [K_l, LO_l*16] with cell
+    t at [t >> log2(LO_l), (t & (LO_l-1))*16 + corner*2 + f]."""
+    t_sizes = cell_level_layout(resolutions, table_size, radix)
+    pos = positions.astype(jnp.float32)
+    cx, cy, cz = _np_corner_bits()
+    feats = []
+    for lvl, res in enumerate(resolutions):
+        t_l, k_l, lo_l, use_direct = t_sizes[lvl]
+        tab = tables[lvl].reshape(k_l * lo_l, 8, 2)
+        s = pos * res
+        f0 = jnp.floor(s)
+        frac = s - f0
+        ix = f0[:, 0:1].astype(jnp.int32)
+        iy = f0[:, 1:2].astype(jnp.int32)
+        iz = f0[:, 2:3].astype(jnp.int32)
+        if use_direct:
+            idx = ix + iy * res + iz * res * res
+        else:
+            idx = ((ix) ^ (iy * _P1) ^ (iz * _P2)) & (t_l - 1)
+        tx, ty, tz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+        w8 = (
+            (tx * cx + (1 - tx) * (1 - cx))
+            * (ty * cy + (1 - ty) * (1 - cy))
+            * (tz * cz + (1 - tz) * (1 - cz))
+        )
+        rows = jnp.take(tab, idx[:, 0], axis=0)  # [P, 8, 2]
+        feats.append(jnp.sum(rows * w8[..., None], axis=1))
+    return jnp.concatenate(feats, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Cell mode v1 (round-2 kernels; superseded by cell v2 above, kept only as
+# the corner-mode building blocks' documentation twin)
 # ---------------------------------------------------------------------------
 
 

@@ -151,13 +151,18 @@ def main(args):
         if ok:
             state = resumed
             print(f"resuming from step {int(state.step)}", flush=True)
+    start_step = int(state.step) if state is not None else 0
     state = train_loop(config, data, eval_indices=eval_idx, writer=writer,
                        checkpoint_dir=ckpt_dir, state=state)
     train_s = time.time() - t0
     report["train_s"] = round(train_s, 1)
+    # on resume only (iters - start_step) steps actually ran this process
+    steps_run = max(args.iters - start_step, 1)
     report["train_rays_per_sec"] = round(
-        args.iters * config.train_rays_per_batch / train_s
+        steps_run * config.train_rays_per_batch / train_s
     )
+    if start_step:
+        report["resumed_from_step"] = start_step
     save_checkpoint(out / "checkpoints", state)
     write_manifest(
         out, preset=args.preset, dataparser_transform=np.eye(4)[:3],

@@ -130,3 +130,29 @@ def test_camera_opt_applied_to_rays():
     )
     np.testing.assert_allclose(np.asarray(rb.origins[0]), [0.5, 0, 0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(rb.origins[1]), [0, 0, 1.0], atol=1e-6)
+
+
+def test_frustum_coverage():
+    from fruitnerf_tpu.cameras.cameras import frustum_coverage
+
+    cams = make_cameras(n=2)  # both look down -z, origins z=0 and z=1
+    pts = jnp.array(
+        [
+            [0.0, 0.0, -2.0],   # on-axis in front of both -> 2
+            [0.0, 0.0, 0.5],    # behind cam0, in front of cam1 -> 1
+            [0.0, 0.0, 5.0],    # behind both -> 0
+            [50.0, 0.0, -2.0],  # far off-axis -> 0
+            [0.5, 0.0, -2.0],   # within the ~31deg half-FOV of both -> 2
+        ]
+    )
+    cov = np.asarray(frustum_coverage(cams, pts))
+    np.testing.assert_array_equal(cov, [2, 1, 0, 0, 2])
+
+
+def test_frustum_coverage_camera_subset():
+    from fruitnerf_tpu.cameras.cameras import frustum_coverage
+
+    cams = make_cameras(n=2)
+    pts = jnp.array([[0.0, 0.0, 0.5]])  # only cam1 sees it
+    assert int(frustum_coverage(cams, pts, jnp.array([0]))[0]) == 0
+    assert int(frustum_coverage(cams, pts, jnp.array([1]))[0]) == 1

@@ -1,0 +1,142 @@
+"""Disk-dataset end-to-end: the reference's documented workflow
+(README.md:166-224) driven through the ACTUAL CLIs on an on-disk
+COLMAP-layout tree — process-data -> train -> export -> count.
+
+Everything the unit suite exercises piecewise runs here as one flow: mask
+binarization + downscale pyramids (fruit_nerf_dataset.py:288-335), the
+transforms.json merge (:357-373), dataparser orient/center/scale +
+explicit split files (fruitnerf_dataparser.py:157-207), manifest-driven
+export un-normalization (exporter_utils.py:184-242), and the counting
+cascade (clustering_base.py:513-538)."""
+import json
+
+import numpy as np
+import pytest
+
+from fruitnerf_tpu.__main__ import main as cli
+from fruitnerf_tpu.data.fixture import write_scene_capture
+from fruitnerf_tpu.data.synthetic import SyntheticSceneConfig, render_scene
+from fruitnerf_tpu.export.ply import read_ply
+
+FRUIT_RADIUS = 0.14
+NUM_FRUITS = 4
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("capture")
+    scene = render_scene(
+        SyntheticSceneConfig(
+            num_fruits=NUM_FRUITS, fruit_radius=FRUIT_RADIUS, num_cameras=20,
+            image_size=64, num_leaves=6,
+        )
+    )
+    write_scene_capture(scene, root, eval_fraction=0.15)
+    return root, scene
+
+
+def test_disk_pipeline_end_to_end(capture, tmp_path):
+    raw, scene = capture
+    proc = tmp_path / "processed"
+    run = tmp_path / "run"
+    exp = tmp_path / "export"
+
+    # 1) ns-process-fruit-data analog: ingest + pyramids + transforms merge
+    cli([
+        "process-data",
+        "--data", str(raw / "images"),
+        "--data-semantic", str(raw / "masks"),
+        "--output-dir", str(proc),
+        "--transforms", str(raw / "transforms.json"),
+        "--num-downscales", "2",
+    ])
+    assert (proc / "transforms.json").exists()
+    assert (proc / "images_2").is_dir() and (proc / "semantics_2").is_dir()
+    meta = json.loads((proc / "transforms.json").read_text())
+    assert all("semantic_path" in fr for fr in meta["frames"])
+    assert "train_filenames" in meta  # split files survive the merge
+
+    # 2) ns-train analog on the disk tree (smoke preset, short run)
+    cli([
+        "train",
+        "--preset", "fruit_nerf_smoke",
+        "--data", str(proc),
+        "--output-dir", str(run),
+        "--max-iters", "800",
+        # suppress background-colored fog (the documented recommendation
+        # for bright-background captures; also makes the density threshold
+        # discriminative at smoke scale)
+        "--sparsity-loss", "0.01",
+    ])
+    manifest = json.loads((run / "manifest.json").read_text())
+    assert manifest["dataparser_scale"] > 0
+    metrics = [
+        json.loads(line)
+        for line in (run / "metrics.jsonl").read_text().splitlines()
+    ]
+    finals = [m for m in metrics if any(k.startswith("final_eval") for k in m)]
+    assert finals and finals[-1]["final_eval_psnr"] > 8.0
+
+    # 3) ns-export-semantics analog: manifest-driven volume export
+    cli([
+        "export",
+        "--load-dir", str(run),
+        "--output-dir", str(exp),
+        "--num-points-per-side", "96",
+        "--num-rays-per-batch", "9216",
+        # crop box around the content, the reference's own workflow
+        # (README.md:216: discover a crop box, pass --bounding-box):
+        # training writes the contraction identity window |x|<~0.5 of the
+        # normalized frame; outside it the export reads periphery hash
+        # cells (collision noise at smoke scale)
+        "--bounding-box-min", "-0.55", "-0.55", "-0.55",
+        "--bounding-box-max", "0.55", "0.55", "0.55",
+        # smoke-scale training peaks trunc_exp density at O(0.4) and fruit
+        # logits at ~2.4-3.7 vs background p99 ~0.23 (probed after 800 steps
+        # at 64px); the reference run-scale thresholds (70 / 3 / 0.999) are
+        # for 30k-step fields — the flags exist for exactly this
+        "--density-threshold", "0.1",
+        "--semantic-logit-threshold", "1.25",
+        "--colormap-prob-threshold", "0.75",
+    ])
+    cloud = read_ply(exp / "semantic_colormap.ply")
+    pts = cloud["points"]
+    assert len(pts) > 50, "export produced an (almost) empty fruit cloud"
+
+    # exported clouds land at dataparser_transform @ world, x1: the export
+    # x2 un-scale cancels the train-contraction ((x+2)/4) vs export-aabb
+    # ((x+1)/2) coordinate mismatch (exporter_utils.py:184-242; NOTES_ROUND2
+    # counting-calibration facts)
+    tr = np.asarray(manifest["dataparser_transform"], np.float64)  # [3,4]
+    gt = np.asarray(scene["fruit_centers"], np.float64)
+    gt_t = gt @ tr[:, :3].T + tr[:, 3]
+    d = np.linalg.norm(pts[:, None, :] - gt_t[None], axis=-1).min(axis=1)
+    frac_near = float((d < 2.0 * FRUIT_RADIUS).mean())
+    assert frac_near > 0.5, (
+        f"only {frac_near:.0%} of exported points near transformed GT "
+        "centers — un-normalization chain broken?"
+    )
+
+    # 4) counting CLI on the exported cloud (x1 world-unit lengths; same
+    # ratio rules as orchard_e2e.counting_profile_for)
+    r = FRUIT_RADIUS
+    out_json = tmp_path / "count.json"
+    cli([
+        "count",
+        "--cloud", str(exp / "semantic_colormap.ply"),
+        "--eps", str(0.6 * r),
+        "--min-samples", "4",
+        "--remove-outliers-nb-points", "3",
+        "--remove-outliers-radius", str(0.45 * r),
+        "--down-sample", str(0.05 * r),
+        "--cluster-merge-distance", str(1.2 * r),
+        "--template-size", str(r / 0.04),
+        "--gt-count", str(NUM_FRUITS),
+        "--output", str(out_json),
+    ])
+    results = json.loads(out_json.read_text())
+    (row,) = results.values()
+    assert row["count"] >= 1, f"pipeline counted nothing: {row}"
+    # 400 smoke steps on 64px images: demand the right order of magnitude,
+    # not reference accuracy (that is orchard-e2e's job at real scale)
+    assert row["count"] <= 3 * NUM_FRUITS, row

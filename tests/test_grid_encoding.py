@@ -13,7 +13,8 @@ from fruitnerf_tpu.fields.encodings import (
     init_grid_table,
 )
 from fruitnerf_tpu.ops.pallas.hash_grid import (
-    grid_encode_cell_ref,
+    cell_encode_ref,
+    cell_level_layout,
     grid_encode_ref,
 )
 
@@ -27,15 +28,20 @@ CELL = dataclasses.replace(CORNER, mode="cell")
 def _setup(cfg, seed=0, n=200):
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
-    table = init_grid_table(k1, cfg) * 1e4  # O(1) entries for visible grads
+    # O(1) entries for visible grads
+    table = jax.tree.map(lambda t: t * 1e4, init_grid_table(k1, cfg))
     pos = jax.random.uniform(k2, (n, 3), jnp.float32, 0.01, 0.99)
     return table, pos
 
 
 def _oracle(cfg):
-    ref = grid_encode_ref if cfg.mode == "corner" else grid_encode_cell_ref
-    return lambda t, p: ref(
-        t, p, cfg.level_resolutions(), cfg.table_size, cfg.features_per_level
+    if cfg.mode == "corner":
+        return lambda t, p: grid_encode_ref(
+            t, p, cfg.level_resolutions(), cfg.table_size,
+            cfg.features_per_level,
+        )
+    return lambda t, p: cell_encode_ref(
+        t, p, cfg.level_resolutions(), cfg.table_size, cfg.radix
     )
 
 
@@ -74,8 +80,9 @@ def test_grads_match_oracle(cfg):
 
     (dt_k, dp_k) = jax.grad(loss_kernel, argnums=(0, 1))(table, pos)
     (dt_r, dp_r) = jax.grad(loss_ref, argnums=(0, 1))(table, pos)
-    np.testing.assert_allclose(np.asarray(dt_k), np.asarray(dt_r),
-                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(dt_k), jax.tree.leaves(dt_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dp_k), np.asarray(dp_r),
                                atol=1e-3, rtol=1e-3)
 
@@ -94,6 +101,44 @@ def test_direct_vs_hashed_levels():
     res = CORNER.level_resolutions()
     assert (res[0] + 1) ** 3 <= CORNER.table_size
     assert (res[-1] + 1) ** 3 > CORNER.table_size
+
+
+def test_cell_level_layout_sizing():
+    """Per-level tables shrink to pow2ceil(res^3) and cap at table_size."""
+    layout = cell_level_layout((4, 16, 64, 256), 8192, 512)
+    # res 4: 64 cells -> floor 128, direct
+    assert layout[0] == (128, 128, 1, True)
+    # res 16: 4096 cells -> 4096, direct, K=512, LO=8
+    assert layout[1] == (4096, 512, 8, True)
+    # res 64: 262144 cells -> capped at 8192, hashed
+    assert layout[2] == (8192, 512, 16, False)
+    assert layout[3] == (8192, 512, 16, False)
+
+
+def test_table_size_validation():
+    with pytest.raises(ValueError, match="power of two"):
+        GridEncodingConfig(table_size=12288)
+    with pytest.raises(ValueError, match="power of two"):
+        GridEncodingConfig(radix=200)
+    with pytest.raises(ValueError, match="features_per_level"):
+        GridEncodingConfig(features_per_level=4, mode="cell")
+
+
+@pytest.mark.parametrize("radix", [128, 256, 512])
+def test_cell_radix_invariance(radix):
+    """The radix split is an implementation detail: same table CONTENT under
+    different radixes gives identical encodings (layout reshapes commute)."""
+    base = dataclasses.replace(CELL, radix=128)
+    cfg = dataclasses.replace(CELL, radix=radix)
+    table_b, pos = _setup(base)
+    # re-layout each level's [K*LO, 16] cells to the target radix
+    table_c = tuple(
+        t.reshape(-1, 16).reshape(k_l, lo_l * 16)
+        for t, (t_l, k_l, lo_l, _) in zip(table_b, cfg.level_layout())
+    )
+    out_b = grid_encode(table_b, pos, base, jnp.float32)
+    out_c = grid_encode(table_c, pos, cfg, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_c), atol=1e-5)
 
 
 def test_trilinear_interpolation_exact():
@@ -126,18 +171,16 @@ def test_cell_trilinear_exact():
         num_levels=1, features_per_level=2, table_size=256, base_res=4,
         max_res=4, mode="cell",
     )
-    from fruitnerf_tpu.ops.pallas.hash_grid import HI
-
-    clo = cfg.table_size // HI
-    rows = np.zeros((cfg.table_size, 8, 2), np.float32)
+    ((t_l, k_l, lo_l, use_direct),) = cfg.level_layout()
+    assert use_direct and t_l == 128  # 64 cells -> floor 128, direct
+    rows = np.zeros((t_l, 8, 2), np.float32)
     for t in range(64):  # cells of the 4^3 grid, direct indexed
         x = t % 4
         for c in range(8):
             cx = (c >> 2) & 1
             rows[t, c, 0] = x + cx  # corner x coordinate
             rows[t, c, 1] = 1.0
-    packed = rows.reshape(HI, clo * 16)
-    table = jnp.asarray(packed)[None]
+    table = (jnp.asarray(rows.reshape(k_l, lo_l * 16)),)
     pos = jnp.array([[0.3, 0.1, 0.2], [0.62, 0.4, 0.9]], jnp.float32)
     out = grid_encode(table, pos, cfg, jnp.float32)
     np.testing.assert_allclose(np.asarray(out[:, 0]),
@@ -150,4 +193,12 @@ def test_odd_sizes(n):
     table, pos = _setup(CORNER, n=n)
     out = grid_encode(table, pos, CORNER, jnp.float32)
     ref = _oracle(CORNER)(table, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [1, 1023, 1025])
+def test_odd_sizes_cell(n):
+    table, pos = _setup(CELL, n=n)
+    out = grid_encode(table, pos, CELL, jnp.float32)
+    ref = _oracle(CELL)(table, pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
