@@ -7,6 +7,10 @@ so single-line parsers keep reading the round-1-comparable number):
                          through the flagship field with on-device
                          threshold+compaction (exporter_utils.py:47-258
                          ships every raw sample to the host instead)
+  pipeline_count_error_pct  END-TO-END counting accuracy: a small orchard is
+                         TRAINED (grid flagship, sparsity prior), volume-
+                         exported, and counted — exercises the full
+                         train->export->count pipeline, not just the cascade
   count_error_pct        counting-cascade accuracy at reference scale:
                          283 procedurally placed apples (the synthetic apple
                          scene's GT count, config_synthetic.py:14) -> DBSCAN
@@ -15,9 +19,18 @@ so single-line parsers keep reading the round-1-comparable number):
                          and DBSCAN neighbor math run on-device,
                          counting/dbscan_device.py)
   train_step_mfu_pct     XLA-reported train-step FLOPs / wall-time, as % of
-                         the measured 170 TFLOP/s bf16 peak (NOTES_ROUND2)
-  train_rays_per_sec_grid  same, for the grid flagship (Pallas hash-grid
-                         kernel main field — the quality variant)
+                         the measured 170 TFLOP/s bf16 peak (NOTES_ROUND2),
+                         freq variant
+  train_step_mfu_pct_grid  same for the grid flagship (the Pallas kernel
+                         does bf16 one-hot matmuls XLA's flop counter does
+                         not see; counted analytically: 3 x 16*F*T MACs per
+                         (point, level) fwd+bwd + histogram)
+  train_rays_per_sec_grid_8192  grid flagship at 8192 rays/batch (the big
+                         preset's batch; amortizes batch-independent step
+                         costs)
+  train_rays_per_sec_grid  grid flagship (Pallas hash-grid kernel main
+                         field — the quality variant) at the base preset's
+                         4096 rays/batch
   train_rays_per_sec     fused train-step throughput, tpu (freq) variant
                          (vs ~136,533 rays/s = reference 30k x 4096 in 15min,
                          README.md:195)
@@ -39,6 +52,45 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
         row["vs_baseline"] = vs_baseline
     row.update(extra)
     print(json.dumps(row), flush=True)
+
+
+def bench_pipeline_count():
+    """END-TO-END count accuracy: train (grid flagship) -> export -> count a
+    small orchard. The cascade-only row below feeds a procedural cloud; this
+    row exercises the full pipeline the reference publishes (train ->
+    ns-export-semantics -> clustering). Cached across bench invocations in
+    .bench_cache (driver reruns land on the cache; delete to re-train)."""
+    import argparse
+    import json as _json
+    from pathlib import Path
+
+    from fruitnerf_tpu.scripts import orchard_e2e
+
+    tag = "v3_20f100c128px_4k"  # bump to invalidate the cache
+    out = Path(__file__).resolve().parent / ".bench_cache" / tag
+    report_path = out / "orchard_report.json"
+    if not report_path.exists():
+        p = argparse.ArgumentParser()
+        orchard_e2e.add_args(p)
+        args = p.parse_args([
+            "--num-fruits", "20", "--num-cameras", "100",
+            "--image-size", "128", "--iters", "4000",
+            "--sparsity-loss", "0.005", "--export-n", "256",
+            "--output-dir", str(out),
+        ])
+        orchard_e2e.main(args)
+    report = _json.loads(report_path.read_text())
+    counting = report.get("counting", {})
+    row = counting.get("semantic_colormap") or counting.get("semantic") or {}
+    count = int(row.get("count", 0))
+    gt = int(report.get("gt_count", 20))
+    err_pct = abs(count - gt) / max(gt, 1) * 100.0
+    _emit(
+        "pipeline_count_error_pct", round(err_pct, 2), "%",
+        count=count, gt_count=gt, f1=round(float(row.get("F1", 0.0)), 4),
+        eval_psnr=report.get("eval", {}).get("psnr"),
+        cached=report_path.exists(),
+    )
 
 
 def bench_counting():
@@ -147,6 +199,7 @@ def main():
     )
 
     # ---- counting cascade (CPU) --------------------------------------------
+    bench_pipeline_count()
     bench_counting()
 
     # ---- train-step throughput + MFU ---------------------------------------
@@ -182,26 +235,66 @@ def main():
         )
 
     # ---- grid-variant train throughput (the quality flagship) -------------
-    gconfig = fruit_nerf(num_images=data.cameras.num_cameras, variant="grid")
-    gconfig = dataclasses.replace(gconfig, train_rays_per_batch=4096)
-    gstate = init_train_state(
-        jax.random.PRNGKey(0), gconfig, data.cameras.num_cameras
+    def grid_step_time(batch):
+        gconfig = fruit_nerf(num_images=data.cameras.num_cameras, variant="grid")
+        gconfig = dataclasses.replace(gconfig, train_rays_per_batch=batch)
+        gstate = init_train_state(
+            jax.random.PRNGKey(0), gconfig, data.cameras.num_cameras
+        )
+        gstep_fn = make_train_step(gconfig)
+
+        def grun(n, state):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, _ = gstep_fn(state, data, key)
+            float(jax.tree.leaves(state.params)[0].ravel()[0])
+            return time.perf_counter() - t0, state
+
+        _, gstate = grun(3, gstate)
+        gt_small, gstate = grun(5, gstate)
+        gt_large, gstate = grun(30, gstate)
+        return max((gt_large - gt_small) / 25, 1e-9), gconfig
+
+    gdt8, _ = grid_step_time(8192)
+    grays8 = 8192 / gdt8
+    _emit(
+        "train_rays_per_sec_grid_8192", round(grays8, 1), "rays/s",
+        vs_baseline=round(grays8 / BASELINE_RAYS_PER_SEC, 3),
     )
-    gstep_fn = make_train_step(gconfig)
 
-    def grun(n):
-        nonlocal gstate
-        t0 = time.perf_counter()
-        for _ in range(n):
-            gstate, _ = gstep_fn(gstate, data, key)
-        float(jax.tree.leaves(gstate.params)[0].ravel()[0])
-        return time.perf_counter() - t0
+    gdt, gconfig = grid_step_time(4096)
+    grays = 4096 / gdt
 
-    grun(3)
-    gt_small = grun(5)
-    gt_large = grun(30)
-    gdt = max((gt_large - gt_small) / 25, 1e-9)
-    grays = gconfig.train_rays_per_batch / gdt
+    # grid MFU: XLA's flop counter does not see inside the Pallas kernel, so
+    # count the encode analytically and add the XLA-visible rest.
+    # Encode MACs per (point, level): K*W (fwd one-hot matmul) + K*W
+    # (bwd histogram) + W*16 + small — with per-level table sizes.
+    gm = gconfig.model
+    layout = gm.field.grid.level_layout()
+    p_pts = 4096 * gm.num_nerf_samples + gm.sparsity_num_points
+    enc_macs = sum(2 * (k * lo * 16) + lo * 16 * 16 for _, k, lo, _ in layout)
+    grid_flops = 2.0 * p_pts * enc_macs
+    xla_flops = None
+    try:
+        gstate0 = init_train_state(
+            jax.random.PRNGKey(0), gconfig, data.cameras.num_cameras
+        )
+        cost = (
+            make_train_step(gconfig)
+            .lower(gstate0, data, key).compile().cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if xla_flops:
+        gmfu = (xla_flops + grid_flops) / gdt / MEASURED_BF16_PEAK_FLOPS * 100.0
+        _emit(
+            "train_step_mfu_pct_grid", round(gmfu, 2), "%",
+            step_tflops=round((xla_flops + grid_flops) / 1e12, 4),
+        )
+
     _emit(
         "train_rays_per_sec_grid", round(grays, 1), "rays/s",
         vs_baseline=round(grays / BASELINE_RAYS_PER_SEC, 3),

@@ -2,6 +2,7 @@
 
 Commands mirror the reference's console scripts (pyproject.toml:24-32):
   train         ns-train fruit_nerf / _big / _huge
+  multi-scene   batched multi-orchard counting campaign (one XLA program)
   export        ns-export-semantics semantic-pointcloud
   count         clustering/run_clustering.py (+ --sweep)
   process-data  ns-process-fruit-data fruit (mask ingestion)
@@ -17,6 +18,7 @@ import argparse
 import sys
 
 from .scripts import count as count_cmd
+from .scripts import multi_scene_campaign as campaign_cmd
 from .scripts import orchard_e2e as orchard_cmd
 from .scripts import suggest_crop as crop_cmd
 from .scripts import evaluate as eval_cmd
@@ -34,6 +36,7 @@ COMMANDS = {
     "render": render_cmd,
     "eval": eval_cmd,
     "orchard-e2e": orchard_cmd,
+    "multi-scene": campaign_cmd,
     "suggest-crop": crop_cmd,
     "viewer": viewer_cmd,
 }

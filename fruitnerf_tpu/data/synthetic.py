@@ -129,39 +129,69 @@ def _ray_sphere_hits(origins, dirs, centers, radii):
     return tmin, idx
 
 
-def _ray_sphere_hits_jax(centers, radii):
-    """JAX twin of _ray_sphere_hits, jitted + chunk-batched: at reference
-    scale (283 fruits + hundreds of leaves x 512^2 rays x 100+ cams,
-    config_synthetic.py:14) the numpy tracer is O(minutes/camera); the same
-    einsums on device render the whole orchard in seconds."""
+def _device_camera_renderer(config, dirs_cam, centers, radii, colors,
+                            num_fruits):
+    """Whole-camera renderer on device: trace + shade in ONE jit per pose,
+    fetch finished uint8 image + mask.
+
+    The round-2 tracer shipped origins/dirs to device and t/idx back per
+    64K-ray chunk, then shaded in numpy: ~7 s/camera of transfer+sync
+    through the remote-TPU tunnel (120 cams at 256^2 took 872 s; the
+    300-cam 512^2 headline scene extrapolates to hours). Keeping everything
+    on device cuts the per-camera traffic to 12 floats up and H*W*4 bytes
+    down (~1-2 s/camera wall through the tunnel)."""
     import jax
     import jax.numpy as jnp
 
     c = jnp.asarray(centers)
     r = jnp.asarray(radii)
+    col = jnp.asarray(colors)
+    dc = jnp.asarray(dirs_cam)  # [R, 3] unit, camera frame
+    bg = jnp.asarray(np.array(config.background, np.float32))
+    light = np.array([0.5, 0.3, 0.8])
+    light = jnp.asarray(light / np.linalg.norm(light))
+    num_rays = dirs_cam.shape[0]
+    # chunk rays so the [rays, spheres] quadratic temps stay ~100 MB
+    chunk = max(1 << 12, min(1 << 15, (25_000_000 // max(len(centers), 1)) & ~127))
+    pad = (-num_rays) % chunk
+    dc_chunks = jnp.reshape(
+        jnp.pad(dc, ((0, pad), (0, 0))), (-1, chunk, 3)
+    )
 
     @jax.jit
-    def hits(origins, dirs):
-        oc = origins[:, None, :] - c[None, :, :]
-        b = jnp.einsum("rkj,rj->rk", oc, dirs)
-        cc = jnp.einsum("rkj,rkj->rk", oc, oc) - r[None, :] ** 2
-        disc = b * b - cc
-        hit = disc >= 0
-        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = jnp.where(hit & (t > 1e-4), t, jnp.inf)
-        idx = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
-        return tmin, idx
+    def render_pose(pose):  # [3,4] -> (rgb_u8 [R,3], mask [R] bool)
+        rot, eye = pose[:, :3], pose[:, 3]
 
-    def run(origins, dirs, chunk=1 << 16):
-        ts, idxs = [], []
-        for s in range(0, dirs.shape[0], chunk):
-            t, i = hits(origins[s : s + chunk], dirs[s : s + chunk])
-            ts.append(np.asarray(t))
-            idxs.append(np.asarray(i))
-        return np.concatenate(ts), np.concatenate(idxs)
+        def chunk_fn(d_cam):
+            d = d_cam @ rot.T  # [r, 3]
+            oc = eye[None, :] - c  # [K, 3]
+            b = d @ oc.T  # [r, K]
+            cc = jnp.sum(oc * oc, axis=-1)[None, :] - (r_sq := r**2)[None, :]
+            disc = b * b - cc
+            t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where((disc >= 0) & (t > 1e-4), t, jnp.inf)
+            idx = jnp.argmin(t, axis=-1)
+            tmin = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+            hit = jnp.isfinite(tmin)
+            pts = eye[None, :] + d * jnp.where(hit, tmin, 0.0)[:, None]
+            normals = pts - c[idx]
+            normals = normals / jnp.maximum(
+                jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9
+            )
+            shade = 0.35 + 0.65 * jnp.maximum(normals @ light, 0.0)
+            rgb = jnp.where(
+                hit[:, None], col[idx] * shade[:, None], bg[None, :]
+            )
+            mask = hit & (idx < num_fruits)
+            return (
+                jnp.clip(rgb * 255.0 + 0.5, 0, 255).astype(jnp.uint8),
+                mask,
+            )
 
-    return run
+        rgb, mask = jax.lax.map(chunk_fn, dc_chunks)
+        return rgb.reshape(-1, 3)[:num_rays], mask.reshape(-1)[:num_rays]
+
+    return render_pose
 
 
 def render_scene(config: SyntheticSceneConfig):
@@ -196,21 +226,31 @@ def render_scene(config: SyntheticSceneConfig):
     dirs_cam = np.stack([px, py, -np.ones_like(px)], axis=-1)
     dirs_cam /= np.linalg.norm(dirs_cam, axis=-1, keepdims=True)
 
-    # device tracer pays off quickly: the numpy einsum is ~20s/camera at
-    # 256^2 x ~700 spheres (and each camera allocates a [R,K,3] temp), while
-    # the jitted version amortizes one compile across all cameras
+    # device renderer pays off quickly: the numpy einsum is ~20s/camera at
+    # 256^2 x ~700 spheres; the per-pose jit traces AND shades on device
+    # (per-camera traffic: 12 floats up, H*W*4 bytes down)
     use_jax = h * w * len(centers) > 2_000_000
-    jax_hits = _ray_sphere_hits_jax(centers, radii) if use_jax else None
+    render_pose = (
+        _device_camera_renderer(
+            config, dirs_cam.astype(np.float32), centers, radii,
+            colors.astype(np.float32), len(fruits),
+        )
+        if use_jax else None
+    )
 
     images, masks = [], []
     for pose in poses:
+        if use_jax:
+            rgb_u8, mask_b = render_pose(pose.astype(np.float32))
+            img = np.asarray(rgb_u8, np.float32) / 255.0
+            mask = np.asarray(mask_b).astype(np.float32)
+            images.append(img.reshape(h, w, 3))
+            masks.append(mask.reshape(h, w))
+            continue
         rot, eye = pose[:3, :3], pose[:3, 3]
         dirs = dirs_cam @ rot.T
         origins = np.ascontiguousarray(np.broadcast_to(eye, dirs.shape))
-        if use_jax:
-            t, idx = jax_hits(origins.astype(np.float32), dirs.astype(np.float32))
-        else:
-            t, idx = _ray_sphere_hits(origins, dirs, centers, radii)
+        t, idx = _ray_sphere_hits(origins, dirs, centers, radii)
         hit = np.isfinite(t)
         img = np.tile(np.array(config.background, np.float32), (h * w, 1))
         # simple lambertian shading from a fixed light
@@ -238,3 +278,32 @@ def render_scene(config: SyntheticSceneConfig):
         "fruit_centers": fruits,
         "fruit_radius": config.fruit_radius,
     }
+
+
+def cached_render_scene(config: SyntheticSceneConfig, cache_dir=None):
+    """render_scene with an npz disk cache.
+
+    Reference-scale scenes are expensive to ray-trace (120 cams at 256^2
+    over ~200 spheres is minutes; 300 at 512^2 much more) and validation
+    studies re-render identical scenes every run. Keyed by the full scene
+    config; cache_dir defaults to <repo>/.scene_cache (gitignored)."""
+    import dataclasses
+    import hashlib
+    from pathlib import Path
+
+    if cache_dir is None:
+        cache_dir = Path(__file__).resolve().parents[2] / ".scene_cache"
+    cache_dir = Path(cache_dir)
+    key = hashlib.sha1(
+        repr(sorted(dataclasses.asdict(config).items())).encode()
+    ).hexdigest()[:16]
+    path = cache_dir / f"scene_{key}.npz"
+    if path.exists():
+        with np.load(path) as z:
+            return {k: z[k] if z[k].shape else z[k].item() for k in z.files}
+    scene = render_scene(config)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, **scene)
+    tmp.replace(path)
+    return scene

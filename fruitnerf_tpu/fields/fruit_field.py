@@ -62,6 +62,17 @@ class FruitFieldConfig:
     pass_semantic_gradients: bool = False
     use_average_appearance_embedding: bool = True
     compute_dtype: Any = jnp.float32
+    # Constant added to the raw density logit before trunc_exp. A random-init
+    # MLP emits sigma ~= 1 EVERYWHERE; on sparse captures (<~60 hemisphere
+    # cameras) world columns outside every training frustum keep that init
+    # fog forever (no photometric ray crosses them, and carving them with a
+    # volume prior damages colliding hash entries of real content). Starting
+    # empty (bias -3 -> sigma ~= 0.05, ~transparent over the scene scale)
+    # removes the fog CLASS of failures instead of eroding it: density only
+    # grows where gradients demand it. 0 = reference-equivalent init
+    # (the default; sparse-capture runs set -3, see orchard-e2e
+    # --density-bias and NOTES_ROUND3).
+    density_bias: float = 0.0
 
     @property
     def base_in_dim(self) -> int:
@@ -160,7 +171,7 @@ def get_density(
     else:
         h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
     out = apply_mlp_fast(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
-    density = trunc_exp(out[..., 0]) * selector
+    density = trunc_exp(out[..., 0] + config.density_bias) * selector
     return density, out[..., 1:]
 
 
@@ -181,7 +192,7 @@ def density_at_unit(
     else:
         h = nerf_encode(pos01 * 2.0 - 1.0, config.pos_frequencies, include_input=True)
     out = apply_mlp_fast(params["base_mlp"], h, config.base_mlp, config.compute_dtype)
-    return trunc_exp(out[..., 0])
+    return trunc_exp(out[..., 0] + config.density_bias)
 
 
 def get_appearance(

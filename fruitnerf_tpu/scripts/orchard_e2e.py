@@ -44,6 +44,18 @@ def add_args(p: argparse.ArgumentParser):
                         "background captures); 0 = off")
     p.add_argument("--table-size", type=int, default=None,
                    help="override the grid variant's per-level table size")
+    p.add_argument("--nerf-samples", type=int, default=None,
+                   help="override num_nerf_samples (field samples/ray; the "
+                        "48->32 speed/quality trade study)")
+    p.add_argument("--sparsity-boost", type=float, default=None,
+                   help="override sparsity_unobserved_boost (frustum-gap fog)")
+    p.add_argument("--sparsity-points", type=int, default=None,
+                   help="override sparsity_num_points")
+    p.add_argument("--sparsity-cell", type=float, default=None,
+                   help="override sparsity_cell (occupancy cell size)")
+    p.add_argument("--density-bias", type=float, default=None,
+                   help="density-logit init bias (e.g. -3 starts the field "
+                        "empty; the sparse-capture fog fix)")
 
 
 def counting_profile_for(fruit_radius_world: float, num_fruits: int):
@@ -82,7 +94,7 @@ def main(args):
     from ..configs import get_preset
     from ..counting.clustering import FruitClustering, evaluate_against_gt
     from ..data.builder import dataset_from_scene
-    from ..data.synthetic import orchard_config, render_scene
+    from ..data.synthetic import cached_render_scene, orchard_config
     from ..engine.checkpoints import save_checkpoint, write_manifest
     from ..engine.trainer import evaluate_all, train_loop
     from ..export.volume_sampler import ExportConfig, sample_volume
@@ -97,7 +109,7 @@ def main(args):
         num_fruits=args.num_fruits, num_cameras=args.num_cameras,
         image_size=args.image_size, seed=args.seed,
     )
-    scene = render_scene(cfg_scene)
+    scene = cached_render_scene(cfg_scene)
     report["render_scene_s"] = round(time.time() - t0, 1)
     report["fruit_radius"] = cfg_scene.fruit_radius
 
@@ -127,12 +139,37 @@ def main(args):
                 config.model, density_sparsity_mult=args.sparsity_loss
             ),
         )
+    sp_over = {}
+    if args.sparsity_boost is not None:
+        sp_over["sparsity_unobserved_boost"] = args.sparsity_boost
+    if args.sparsity_points is not None:
+        sp_over["sparsity_num_points"] = args.sparsity_points
+    if args.sparsity_cell is not None:
+        sp_over["sparsity_cell"] = args.sparsity_cell
+    if sp_over:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, **sp_over)
+        )
     if args.table_size:
         field = dataclasses.replace(
             config.model.field,
             grid=dataclasses.replace(
                 config.model.field.grid, table_size=args.table_size
             ),
+        )
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, field=field)
+        )
+    if args.nerf_samples:
+        config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(
+                config.model, num_nerf_samples=args.nerf_samples
+            ),
+        )
+    if args.density_bias is not None:
+        field = dataclasses.replace(
+            config.model.field, density_bias=args.density_bias
         )
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, field=field)

@@ -103,3 +103,28 @@ def test_stack_datasets_rejects_mismatched():
     datasets = [dataset_from_scene(s, train_fraction=1.0) for s in scenes]
     with pytest.raises(ValueError, match="identical image stacks"):
         stack_datasets(datasets)
+
+
+def test_multi_scene_campaign_cli(tmp_path):
+    """The campaign CLI end-to-end at toy size: 2 scenes batched in one
+    program -> per-scene export + count rows (BASELINE config 5's stated
+    job, beyond smoke shapes)."""
+    import argparse
+    import json
+
+    from fruitnerf_tpu.scripts import multi_scene_campaign
+
+    p = argparse.ArgumentParser()
+    multi_scene_campaign.add_args(p)
+    args = p.parse_args([
+        "--scenes", "2", "--num-fruits", "3", "--num-cameras", "6",
+        "--image-size", "32", "--iters", "15", "--preset", "fruit_nerf_smoke",
+        "--export-n", "32", "--train-rays-per-batch", "256",
+        "--output-dir", str(tmp_path),
+    ])
+    multi_scene_campaign.main(args)
+    report = json.loads((tmp_path / "campaign_report.json").read_text())
+    assert len(report["scenes"]) == 2
+    assert report["scenes"][0]["gt"] == 3 and report["scenes"][1]["gt"] == 4
+    assert len(report["final_psnr_per_scene"]) == 2
+    assert (tmp_path / "scene_00").is_dir() and (tmp_path / "scene_01").is_dir()
