@@ -291,3 +291,45 @@ def test_sparsity_loss_opt_in(config, data):
     state0 = init_train_state(jax.random.PRNGKey(0), config, data.cameras.num_cameras)
     _, m0 = make_train_step(config)(state0, data, jax.random.PRNGKey(1))
     assert "sparsity_loss" not in m0
+
+
+def test_train_chunk_equals_single_steps(config, data):
+    """make_train_chunk(n) must be bit-identical to n single steps (RNG and
+    schedules fold in state.step, so chunking is pure batching)."""
+    from fruitnerf_tpu.engine.trainer import make_train_chunk
+
+    key = jax.random.PRNGKey(3)
+    s1 = init_train_state(jax.random.PRNGKey(7), config, data.cameras.num_cameras)
+    s2 = init_train_state(jax.random.PRNGKey(7), config, data.cameras.num_cameras)
+    step = make_train_step(config)
+    for _ in range(5):
+        s1, m1 = step(s1, data, key)
+    chunk = make_train_chunk(config, length=5)
+    s2, m2 = chunk(s2, data, key)
+    assert int(s1.step) == int(s2.step) == 5
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-6
+    )
+    a = jax.tree.leaves(s1.params)
+    b = jax.tree.leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_density_bias_shifts_init_density(config, data):
+    """density_bias shifts the raw logit: at init, bias -3 scales density by
+    ~exp(-3) (the sparse-capture start-empty fix)."""
+    import dataclasses as dc
+
+    from fruitnerf_tpu.fields.fruit_field import get_density, init_fruit_field
+
+    f0 = config.model.field
+    fb = dc.replace(f0, density_bias=-3.0)
+    params = init_fruit_field(jax.random.PRNGKey(0), f0)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.5,
+                             maxval=0.5)
+    d0, _ = get_density(params, pts, f0)
+    db, _ = get_density(params, pts, fb)
+    ratio = np.asarray(db) / np.maximum(np.asarray(d0), 1e-12)
+    np.testing.assert_allclose(ratio, np.exp(-3.0), rtol=1e-4)
