@@ -163,9 +163,15 @@ def _device_camera_renderer(config, dirs_cam, centers, radii, colors,
         rot, eye = pose[:, :3], pose[:, 3]
 
         def chunk_fn(d_cam):
-            d = d_cam @ rot.T  # [r, 3]
+            # HIGHEST precision on the matmuls: TPU f32 matmuls default to
+            # bf16 passes, and the quadratic's b^2 - c cancels ~5-magnitude
+            # terms down to r^2 ~ 1e-3 — with bf16 error ~0.04 the hit test
+            # is RANDOMIZED per view (fruits rendered as moire speckle that
+            # no field can fit; train PSNR capped ~15 at 283/512^2)
+            hi = jax.lax.Precision.HIGHEST
+            d = jnp.dot(d_cam, rot.T, precision=hi)  # [r, 3]
             oc = eye[None, :] - c  # [K, 3]
-            b = d @ oc.T  # [r, K]
+            b = jnp.dot(d, oc.T, precision=hi)  # [r, K]
             cc = jnp.sum(oc * oc, axis=-1)[None, :] - (r_sq := r**2)[None, :]
             disc = b * b - cc
             t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -297,7 +303,7 @@ def cached_render_scene(config: SyntheticSceneConfig, cache_dir=None):
     key = hashlib.sha1(
         repr(sorted(dataclasses.asdict(config).items())).encode()
     ).hexdigest()[:16]
-    path = cache_dir / f"scene_{key}.npz"
+    path = cache_dir / f"scene_v2_{key}.npz"  # v2: HIGHEST-precision tracer
     if path.exists():
         with np.load(path) as z:
             return {k: z[k] if z[k].shape else z[k].item() for k in z.files}

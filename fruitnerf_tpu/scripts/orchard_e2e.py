@@ -56,6 +56,13 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--density-bias", type=float, default=None,
                    help="density-logit init bias (e.g. -3 starts the field "
                         "empty; the sparse-capture fog fix)")
+    p.add_argument("--no-camera-opt", action="store_true",
+                   help="disable the SO3xR3 camera optimizer (synthetic "
+                        "scenes have exact poses; with a negative density "
+                        "bias, early pose gradients can run poses away "
+                        "before geometry forms)")
+    p.add_argument("--no-jitter", action="store_true",
+                   help="disable sub-pixel ray jitter (A/B isolation)")
 
 
 def counting_profile_for(fruit_radius_world: float, num_fruits: int):
@@ -174,6 +181,10 @@ def main(args):
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, field=field)
         )
+    if args.no_camera_opt:
+        config = dataclasses.replace(config, use_camera_opt=False)
+    if args.no_jitter:
+        config = dataclasses.replace(config, train_subpixel_jitter=False)
 
     t0 = time.time()
     writer = MetricWriter(out / "metrics.jsonl")
