@@ -33,7 +33,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="fruit_nerf")
     p.add_argument("--variant", default="grid",
                    choices=["grid", "tpu", "parity"])
-    p.add_argument("--sparsity-loss", type=float, default=0.005)
+    p.add_argument("--sparsity-loss", type=float, default=0.0)
+    p.add_argument("--density-bias", type=float, default=-3.0,
+                   help="density-logit init bias; -3 starts the field empty "
+                        "(the round-3 fog fix, NOTES_ROUND3) — fields only "
+                        "grow density where rays actually observe content")
     p.add_argument("--export-n", type=int, default=192)
     p.add_argument("--train-rays-per-batch", type=int, default=2048)
     p.add_argument("--output-dir", required=True)
@@ -90,6 +94,13 @@ def main(args):
             model=dataclasses.replace(
                 config.model, density_sparsity_mult=args.sparsity_loss
             ),
+        )
+    if args.density_bias is not None:
+        field = dataclasses.replace(
+            config.model.field, density_bias=args.density_bias
+        )
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, field=field)
         )
 
     # ---- one batched program trains every scene ---------------------------
