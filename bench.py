@@ -66,7 +66,7 @@ def bench_pipeline_count():
 
     from fruitnerf_tpu.scripts import orchard_e2e
 
-    tag = "v3_20f100c128px_4k"  # bump to invalidate the cache
+    tag = "v4_20f100c128px_4k_bias3"  # bump to invalidate the cache
     out = Path(__file__).resolve().parent / ".bench_cache" / tag
     report_path = out / "orchard_report.json"
     if not report_path.exists():

@@ -126,6 +126,10 @@ def fruit_nerf(
         hidden_dim_semantic=64,
         appearance_embed_dim=32,
         compute_dtype=compute_dtype,
+        # empty-start init: the round-3 headline recipe (fog never forms;
+        # NOTES_ROUND3 283-fruit A/B: +0.5 dB and -5.6pp count error vs
+        # either single lever). fruit_field.FruitFieldConfig.density_bias.
+        density_bias=-3.0,
     )
     model = FruitModelConfig(field=field)
     if variant in ("tpu", "grid"):
@@ -179,6 +183,7 @@ def fruit_nerf_big(
         hidden_dim_semantic=128,
         appearance_embed_dim=128,
         compute_dtype=compute_dtype,
+        density_bias=-3.0,  # empty-start init (see fruit_nerf preset)
     )
     model = FruitModelConfig(
         field=field,
@@ -236,6 +241,7 @@ def fruit_nerf_huge(
         hidden_dim_semantic=128,
         appearance_embed_dim=128,
         compute_dtype=compute_dtype,
+        density_bias=-3.0,  # empty-start init (see fruit_nerf preset)
     )
     model = FruitModelConfig(
         field=field,

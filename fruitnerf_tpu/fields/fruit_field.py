@@ -69,9 +69,11 @@ class FruitFieldConfig:
     # volume prior damages colliding hash entries of real content). Starting
     # empty (bias -3 -> sigma ~= 0.05, ~transparent over the scene scale)
     # removes the fog CLASS of failures instead of eroding it: density only
-    # grows where gradients demand it. 0 = reference-equivalent init
-    # (the default; sparse-capture runs set -3, see orchard-e2e
-    # --density-bias and NOTES_ROUND3).
+    # grows where gradients demand it. 0 = reference-equivalent init (the
+    # dataclass default, kept for the smoke preset's settled margins); the
+    # production presets set -3 — validated at 283-fruit/512^2/30k where
+    # bias -3 + sparsity prior beats every single-lever recipe (PSNR 27.76,
+    # count 284/283, F1 0.970 — NOTES_ROUND3 headline table).
     density_bias: float = 0.0
 
     @property

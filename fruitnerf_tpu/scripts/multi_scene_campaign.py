@@ -33,15 +33,20 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="fruit_nerf")
     p.add_argument("--variant", default="grid",
                    choices=["grid", "tpu", "parity"])
-    p.add_argument("--sparsity-loss", type=float, default=0.0)
-    p.add_argument("--density-bias", type=float, default=-3.0,
-                   help="density-logit init bias; -3 starts the field empty "
-                        "(the round-3 fog fix, NOTES_ROUND3) — fields only "
-                        "grow density where rays actually observe content")
+    p.add_argument("--sparsity-loss", type=float, default=0.005)
+    p.add_argument("--density-bias", type=float, default=None,
+                   help="override the density-logit init bias (production "
+                        "presets default to -3 = empty-start, the round-3 "
+                        "headline recipe together with the sparsity prior)")
     p.add_argument("--export-n", type=int, default=192)
     p.add_argument("--train-rays-per-batch", type=int, default=2048)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--seed", type=int, default=11)
+    # export thresholds: reference run-scale defaults (exporter_utils.py:
+    # 110-114) assume 30k-step logit/density magnitudes; short campaign
+    # runs (4-8k iters) may need lower cutoffs (tests/test_disk_e2e.py)
+    p.add_argument("--density-threshold", type=float, default=70.0)
+    p.add_argument("--semantic-logit-threshold", type=float, default=3.0)
 
 
 def main(args):
@@ -134,7 +139,11 @@ def main(args):
     ]
 
     # ---- per-scene export + count -----------------------------------------
-    export_cfg = ExportConfig(num_points_per_side=args.export_n)
+    export_cfg = ExportConfig(
+        num_points_per_side=args.export_n,
+        density_threshold=args.density_threshold,
+        semantic_logit_threshold=args.semantic_logit_threshold,
+    )
     rows = []
     for s, (cfg_scene, scene) in enumerate(scenes):
         params_s = jax.tree.map(lambda x: x[s], states.params["model"])
@@ -145,7 +154,10 @@ def main(args):
         )
         gt_count = args.num_fruits + s
         profile = counting_profile_for(cfg_scene.fruit_radius, gt_count)
-        pts = clouds["semantic_colormap"]["points"]
+        # count the semantic cloud (logit>=3 & density): the colormap cloud
+        # (sigmoid >= 0.999) is near-empty below ~30k steps, and the orchard
+        # headline counts semantic too (orchard_e2e reports both)
+        pts = clouds["semantic"]["points"]
         if len(pts) == 0:
             rows.append({"scene": s, "gt": gt_count, "count": 0,
                          "error": "empty cloud"})

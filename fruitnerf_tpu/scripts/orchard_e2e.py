@@ -39,9 +39,11 @@ def add_args(p: argparse.ArgumentParser):
                    help="add the distortion term to the loss (anti-floater; "
                         "the reference keeps it metric-only, "
                         "fruit_nerf.py:400)")
-    p.add_argument("--sparsity-loss", type=float, default=0.0,
-                   help="occupancy-sparsity weight (anti-fog on bright-"
-                        "background captures); 0 = off")
+    p.add_argument("--sparsity-loss", type=float, default=0.005,
+                   help="occupancy-sparsity weight; the headline counting "
+                        "recipe is preset density-bias -3 + prior 0.005 "
+                        "(carves inter-fruit bridges the cascade would "
+                        "otherwise over-split, NOTES_ROUND3); 0 = off")
     p.add_argument("--table-size", type=int, default=None,
                    help="override the grid variant's per-level table size")
     p.add_argument("--nerf-samples", type=int, default=None,
@@ -54,8 +56,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--sparsity-cell", type=float, default=None,
                    help="override sparsity_cell (occupancy cell size)")
     p.add_argument("--density-bias", type=float, default=None,
-                   help="density-logit init bias (e.g. -3 starts the field "
-                        "empty; the sparse-capture fog fix)")
+                   help="override the density-logit init bias (production "
+                        "presets default to -3 = empty-start; 0 restores "
+                        "the reference-equivalent fog init)")
     p.add_argument("--no-camera-opt", action="store_true",
                    help="disable the SO3xR3 camera optimizer (synthetic "
                         "scenes have exact poses; with a negative density "
@@ -72,10 +75,11 @@ def counting_profile_for(fruit_radius_world: float, num_fruits: int):
     round-1 calibration finding, re-verified here: 99.8% of exported
     semantic points fall within 2 fruit radii of a true center at x1, none
     at x2). Density hyperparameters are calibrated for threshold-crossing
-    SHELL clouds (~175 pts/fruit at 512^3): light outlier removal, small
-    min_samples, prune factor sized for partial hulls. Swept on the
-    283-fruit/300-cam/512^2 export: count 282/283 (0.4%), F1 0.966; nearby
-    settings stay within 2-4% / F1 0.96-0.98."""
+    clouds (~175 pts/fruit at 512^3): light outlier removal, small
+    min_samples, prune factor sized for partial hulls. Round-3 headline
+    (283 fruits / 300 cams / 512^2, bias -3 + prior 5e-3, jitter on):
+    count 284/283 (0.35%), F1 0.970; prior-only gives 287 (1.4%), and
+    NO-prior clouds over-split to ~300 (bridged blobs, NOTES_ROUND3)."""
     from ..counting.clustering import CountingProfile
     from ..counting.templates import BASE_RADIUS
 
