@@ -106,8 +106,26 @@ class ViewerSession:
     """Holds a loaded run and renders view-panel frames on demand."""
 
     def __init__(self, params, config, scene_aabb=None):
+        import dataclasses
+
         self.params = params
         self.config = config
+        # Preview config: ~4x fewer samples/ray for interactive orbiting.
+        # Sample counts are sampling shapes, not parameters, so the same
+        # params render under both configs; the client requests preview
+        # frames during drag and a debounced full frame after (the
+        # nerfstudio viewer's adaptive-resolution trick, viewer chunk 1<<13
+        # fruit_nerf_config.py:57).
+        self.preview_config = dataclasses.replace(
+            config,
+            model=dataclasses.replace(
+                config.model,
+                num_nerf_samples=max(config.model.num_nerf_samples // 3, 8),
+                num_proposal_samples=tuple(
+                    max(n // 4, 16) for n in config.model.num_proposal_samples
+                ),
+            ),
+        )
         self.scene_aabb = (np.asarray(scene_aabb, np.float32)
                           if scene_aabb is not None
                           else np.array([[-1.0] * 3, [1.0] * 3], np.float32))
@@ -139,12 +157,14 @@ class ViewerSession:
                    scene_aabb=manifest.get("scene_aabb"))
 
     def render_frame(self, theta, phi, radius, size, panel="rgb",
-                     crop: np.ndarray | None = None) -> np.ndarray:
+                     crop: np.ndarray | None = None,
+                     preview: bool = False) -> np.ndarray:
         from ..engine.trainer import render_camera
 
         cameras = orbit_camera(theta, phi, radius, size)
+        config = self.preview_config if preview else self.config
         with self._lock:
-            panels = render_camera(self.params, cameras, 0, self.config)
+            panels = render_camera(self.params, cameras, 0, config)
         if panel == "rgb":
             img = _to_u8(np.asarray(panels["rgb"]))
         elif panel == "semantics":
@@ -202,22 +222,31 @@ function cmdline(){
   'export --bounding-box-min '+crop[0].map(v=>v.toFixed(2)).join(' ')+
   ' --bounding-box-max '+crop[1].map(v=>v.toFixed(2)).join(' ');}
 cmdline();
-function refresh(){
+let fullTimer=null;
+function refresh(preview){
  if(busy){queued=true;return;} busy=true;
  const t0=performance.now();
- const size=document.getElementById('size').value;
+ let size=document.getElementById('size').value;
  const panel=document.getElementById('panel').value;
- let u=`/render?theta=${th}&phi=${ph}&radius=${r}&size=${size}&panel=${panel}`;
+ // progressive: during interaction render small + few samples, then
+ // schedule the full-quality frame once the user pauses
+ if(preview){size=Math.min(size,128);}
+ let u=`/render?theta=${th}&phi=${ph}&radius=${r}&size=${size}`+
+       `&panel=${panel}&preview=${preview?1:0}`;
  if(document.getElementById('showcrop').checked)
    u+='&crop='+crop.flat().join(',');
  const img=document.getElementById('img');
  fetch(u).then(r=>r.blob()).then(b=>{
   img.src=URL.createObjectURL(b); busy=false;
   document.getElementById('stat').textContent=
-   ((performance.now()-t0)/1000).toFixed(2)+' s/frame';
-  if(queued){queued=false;refresh();}});}
+   ((performance.now()-t0)/1000).toFixed(2)+' s/frame'+
+   (preview?' (preview)':'');
+  if(queued){queued=false;refresh(true);}});
+ if(preview){clearTimeout(fullTimer);
+  fullTimer=setTimeout(()=>refresh(false),400);}
+ else clearTimeout(fullTimer);}
 sl.querySelectorAll('input').forEach(e=>e.oninput=()=>{
- crop[e.dataset.k][e.dataset.i]=parseFloat(e.value);cmdline();refresh();});
+ crop[e.dataset.k][e.dataset.i]=parseFloat(e.value);cmdline();refresh(true);});
 document.querySelectorAll('#panel,#size,#showcrop').forEach(
  e=>e.onchange=refresh);
 const img=document.getElementById('img');
@@ -226,9 +255,9 @@ img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault();};
 window.onmouseup=()=>drag=null;
 window.onmousemove=e=>{if(!drag)return;
  th-=(e.clientX-drag[0])*0.01; ph=Math.min(1.5,Math.max(-0.2,
- ph+(e.clientY-drag[1])*0.01)); drag=[e.clientX,e.clientY]; refresh();};
+ ph+(e.clientY-drag[1])*0.01)); drag=[e.clientX,e.clientY]; refresh(true);};
 img.onwheel=e=>{e.preventDefault();r=Math.min(8,Math.max(0.3,
- r*(e.deltaY>0?1.1:0.9)));refresh();};
+ r*(e.deltaY>0?1.1:0.9)));refresh(true);};
 document.getElementById('suggest').onclick=()=>{
  document.getElementById('stat').textContent='probing...';
  fetch('/suggest').then(r=>r.json()).then(j=>{
@@ -270,7 +299,8 @@ def _make_handler(session: ViewerSession):
                         float(q.get("theta", 0.8)), float(q.get("phi", 0.5)),
                         float(q.get("radius", 2.5)),
                         min(int(q.get("size", 256)), 1024),
-                        q.get("panel", "rgb"), crop)
+                        q.get("panel", "rgb"), crop,
+                        preview=q.get("preview", "0") == "1")
                     buf = io.BytesIO()
                     Image.fromarray(img).save(buf, "PNG")
                     self._send(200, buf.getvalue(), "image/png")

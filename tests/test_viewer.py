@@ -64,6 +64,28 @@ def test_render_panels(base_url, panel):
     assert img.shape == (32, 32, 3) and img.dtype == np.uint8
 
 
+def test_render_preview_mode(base_url, session):
+    """preview=1 renders through the reduced-sample config (the interactive
+    orbit path) and still returns a well-formed frame."""
+    from PIL import Image
+
+    assert (session.preview_config.model.num_nerf_samples
+            < session.config.model.num_nerf_samples)
+    assert all(
+        p < f for p, f in zip(
+            session.preview_config.model.num_proposal_samples,
+            session.config.model.num_proposal_samples,
+        )
+    )
+    status, ctype, body = _get(
+        base_url + "/render?theta=0.5&phi=0.4&radius=2.5&size=32"
+        "&panel=rgb&preview=1"
+    )
+    assert status == 200 and ctype == "image/png"
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+
 def test_render_with_crop_overlay(base_url):
     from PIL import Image
 
