@@ -42,13 +42,39 @@ COMMANDS = {
 }
 
 
+def _pin_cpu_devices(n: int) -> None:
+    """Pin an n-virtual-device CPU backend BEFORE any JAX backend touch.
+
+    Shell-level JAX_PLATFORMS=cpu does not survive this container's
+    sitecustomize (it registers a remote-TPU PJRT plugin); backend selection
+    is lazy, so an in-process config update works — the same technique as
+    tests/conftest.py and __graft_entry__.dryrun_multichip."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="fruitnerf_tpu")
+    parser.add_argument(
+        "--cpu-mesh", type=int, default=None, metavar="N",
+        help="run on a virtual N-device CPU mesh instead of the TPU "
+             "(multi-scene campaigns / sharding checks without chips)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
     for name, mod in COMMANDS.items():
         p = sub.add_parser(name, help=(mod.__doc__ or "").strip().splitlines()[0])
         mod.add_args(p)
     args = parser.parse_args(argv)
+    if args.cpu_mesh:
+        _pin_cpu_devices(args.cpu_mesh)
     COMMANDS[args.command].main(args)
 
 

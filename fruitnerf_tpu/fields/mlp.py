@@ -2,9 +2,9 @@
 
 Replaces tcnn's FullyFusedMLP / nerfstudio MLP for all field heads. Matmuls
 are sized/batched for the MXU: activations flow in a configurable compute
-dtype (bf16 on TPU), parameters and outputs stay float32. A Pallas
-fully-fused variant (weights resident in VMEM across layers) lives in
-ops/pallas/fused_mlp.py and is a drop-in for `apply_mlp`.
+dtype (bf16 on TPU), parameters and outputs stay float32. (A Pallas
+fully-fused variant existed through round 2 and was deleted — see
+`apply_mlp_fast`'s docstring for the measurements and rationale.)
 """
 from __future__ import annotations
 

@@ -30,6 +30,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--num-cameras", type=int, default=80)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--iters", type=int, default=4000)
+    p.add_argument("--fruit-radius", type=float, default=None,
+                   help="override the orchard fruit radius (the CPU-mesh CI "
+                        "campaign uses chunky fruits at low resolution so "
+                        "short smoke-preset runs reach countable exports)")
     p.add_argument("--preset", default="fruit_nerf")
     p.add_argument("--variant", default="grid",
                    choices=["grid", "tpu", "parity"])
@@ -77,6 +81,11 @@ def main(args):
             num_fruits=args.num_fruits + s, num_cameras=args.num_cameras,
             image_size=args.image_size, seed=args.seed + 101 * s,
         )
+        if args.fruit_radius is not None:
+            cfg_scene = dataclasses.replace(
+                cfg_scene, fruit_radius=args.fruit_radius,
+                leaf_radius=args.fruit_radius * 1.3,
+            )
         scenes.append((cfg_scene, render_scene(cfg_scene)))
     datasets = [dataset_from_scene(sc, train_fraction=1.0)
                 for _, sc in scenes]
