@@ -351,9 +351,20 @@ def _s_mat(width, cdt):
     return ((s_rows & 15) == s_cols).astype(cdt)
 
 
+import os
+
+# lane placement/extraction strategy for the per-level 16-lane groups.
+# "matmul": [BP,16] @ iota-one-hot — tiny K=16 contractions (12.5% MXU
+# ceiling) but no relayouts. "pad": jnp.pad to the lane offset (VPU masked
+# shift). A/B-able on hardware via FRUITNERF_GRID_PLACE=pad.
+_PLACE = os.environ.get("FRUITNERF_GRID_PLACE", "matmul")
+
+
 def _put16(rows16, lvl, num_levels):
-    """rows16 [BP, 16] -> [BP, 16L] placed at lanes lvl*16.. (tiny matmul)."""
+    """rows16 [BP, 16] -> [BP, 16L] placed at lanes lvl*16..lvl*16+16."""
     w = 16 * num_levels
+    if _PLACE == "pad":
+        return jnp.pad(rows16, ((0, 0), (lvl * 16, w - (lvl + 1) * 16)))
     erow = jax.lax.broadcasted_iota(jnp.int32, (16, w), 0)
     ecol = jax.lax.broadcasted_iota(jnp.int32, (16, w), 1)
     e_put = (ecol == lvl * 16 + erow).astype(jnp.float32)
@@ -363,6 +374,8 @@ def _put16(rows16, lvl, num_levels):
 def _get16(rows, lvl, num_levels):
     """rows [BP, 16L] -> [BP, 16], the lvl-th 16-lane group."""
     w = 16 * num_levels
+    if _PLACE == "pad":
+        return jax.lax.slice_in_dim(rows, lvl * 16, (lvl + 1) * 16, axis=1)
     erow = jax.lax.broadcasted_iota(jnp.int32, (w, 16), 0)
     ecol = jax.lax.broadcasted_iota(jnp.int32, (w, 16), 1)
     e_get = (erow == lvl * 16 + ecol).astype(jnp.float32)
