@@ -166,6 +166,8 @@ def main():
     config = fruit_nerf(num_images=data.cameras.num_cameras, variant="tpu")
     config = dataclasses.replace(config, train_rays_per_batch=4096)
 
+    from fruitnerf_tpu.engine.trainer import make_train_chunk
+
     key = jax.random.key(0, impl="rbg")
     state = init_train_state(
         jax.random.PRNGKey(0), config, data.cameras.num_cameras
@@ -203,22 +205,26 @@ def main():
     bench_counting()
 
     # ---- train-step throughput + MFU ---------------------------------------
-    def run(n):
-        nonlocal state
+    # time through the CHUNKED path (lax.scan of steps inside one jit) — the
+    # shape production training dispatches (engine/trainer.make_train_chunk);
+    # per-step python dispatch would otherwise pollute the step time through
+    # the remote runtime (~24 ms/step measured, NOTES_ROUND3)
+    CHUNK = 25
+
+    def chunked_step_time(cfg, st):
+        chunk_fn = make_train_chunk(cfg, length=CHUNK)
+        for _ in range(2):  # compile + warm
+            st, _ = chunk_fn(st, data, key)
+            float(jax.tree.leaves(st.params)[0].ravel()[0])
         t0 = time.perf_counter()
-        for _ in range(n):
-            state, metrics = step_fn(state, data, key)
-        # force full materialization via a param value fetch
-        # (block_until_ready alone under-reports through the remote runtime)
-        float(jax.tree.leaves(state.params)[0].ravel()[0])
-        return time.perf_counter() - t0
+        reps = 4
+        for _ in range(reps):
+            st, _ = chunk_fn(st, data, key)
+        float(jax.tree.leaves(st.params)[0].ravel()[0])
+        return (time.perf_counter() - t0) / (reps * CHUNK)
 
-    run(3)
-    # differential timing removes the fixed host-sync overhead
-    t_small = run(10)
-    t_large = run(60)
-    dt = max((t_large - t_small) / 50, 1e-9)
-
+    # lower for the flop count BEFORE the timed chunks donate `state`'s
+    # buffers (lowering only needs avals, but stay clearly safe)
     flops = None
     try:
         cost = step_fn.lower(state, data, key).compile().cost_analysis()
@@ -227,6 +233,9 @@ def main():
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
+
+    dt = chunked_step_time(config, state)
+
     if flops:
         mfu = flops / dt / MEASURED_BF16_PEAK_FLOPS * 100.0
         _emit(
@@ -241,19 +250,7 @@ def main():
         gstate = init_train_state(
             jax.random.PRNGKey(0), gconfig, data.cameras.num_cameras
         )
-        gstep_fn = make_train_step(gconfig)
-
-        def grun(n, state):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, _ = gstep_fn(state, data, key)
-            float(jax.tree.leaves(state.params)[0].ravel()[0])
-            return time.perf_counter() - t0, state
-
-        _, gstate = grun(3, gstate)
-        gt_small, gstate = grun(5, gstate)
-        gt_large, gstate = grun(30, gstate)
-        return max((gt_large - gt_small) / 25, 1e-9), gconfig
+        return max(chunked_step_time(gconfig, gstate), 1e-9), gconfig
 
     gdt8, _ = grid_step_time(8192)
     grays8 = 8192 / gdt8
