@@ -32,6 +32,47 @@ def _fuji_cloud(rng, gt, radius, spacing):
     return np.concatenate([cloud, noise]), centers
 
 
+def test_plum_density_orchard_profile():
+    """Plum-density cascade (config_synthetic.py:76: plum GT=781): 781 fruits
+    at the synthetic orchard's auto radius (r = 0.45/(2*781^(1/3)) ~ 0.024,
+    centers >= 2.6r apart on a canopy shell) counted through the e2e
+    profile-scaling rule (orchard_e2e.counting_profile_for) on an
+    export-shaped shell cloud — the cascade must hold at ~3x the 283-fruit
+    headline's density with NO hand tuning."""
+    from fruitnerf_tpu.scripts.orchard_e2e import counting_profile_for
+
+    gt = 781
+    radius = min(0.04, 0.45 / (2.0 * gt ** (1.0 / 3.0)))
+    rng = np.random.RandomState(7)
+    centers, min_sep = [], 2.6 * radius
+    while len(centers) < gt:
+        v = rng.randn(3)
+        v /= np.linalg.norm(v)
+        c = v * rng.uniform(0.62, 1.0) * np.array([1.0, 1.0, 0.75])
+        if centers and np.min(
+            np.linalg.norm(np.asarray(centers) - c, axis=1)
+        ) < min_sep:
+            continue
+        centers.append(c)
+    centers = np.asarray(centers, np.float32)
+    # threshold-crossing export shape: ~175 near-surface points per fruit
+    v = rng.randn(gt, 175, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    rr = radius * (0.75 + 0.25 * rng.uniform(0, 1, (gt, 175, 1)))
+    cloud = (centers[:, None, :] + v * rr).reshape(-1, 3).astype(np.float32)
+    noise = rng.uniform(-1.2, 1.2, (int(0.01 * len(cloud)), 3))
+    cloud = np.concatenate([cloud, noise.astype(np.float32)])
+
+    profile = counting_profile_for(radius, gt)
+    result = FruitClustering(profile).count(cloud)
+    metrics = evaluate_against_gt(
+        result.centers, centers, tolerance=max(0.15, 5.0 * radius)
+    )
+    err_pct = abs(result.count - gt) / gt * 100.0
+    assert err_pct <= 5.0, (result.count, gt)
+    assert metrics["F1"] >= 0.9, metrics
+
+
 @pytest.mark.slow
 def test_fuji_row_full_cascade():
     profile = REAL_PROFILES["fuji_sam"]
