@@ -46,6 +46,10 @@ def add_args(p: argparse.ArgumentParser):
                         "otherwise over-split, NOTES_ROUND3); 0 = off")
     p.add_argument("--table-size", type=int, default=None,
                    help="override the grid variant's per-level table size")
+    p.add_argument("--grid-levels", type=int, default=None,
+                   help="override the grid variant's number of levels "
+                        "(same base/max res; the encode cost is linear in "
+                        "hashed levels, so L is a speed-vs-quality axis)")
     p.add_argument("--nerf-samples", type=int, default=None,
                    help="override num_nerf_samples (field samples/ray; the "
                         "48->32 speed/quality trade study)")
@@ -161,12 +165,15 @@ def main(args):
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, **sp_over)
         )
+    grid_over = {}
     if args.table_size:
+        grid_over["table_size"] = args.table_size
+    if args.grid_levels:
+        grid_over["num_levels"] = args.grid_levels
+    if grid_over:
         field = dataclasses.replace(
             config.model.field,
-            grid=dataclasses.replace(
-                config.model.field.grid, table_size=args.table_size
-            ),
+            grid=dataclasses.replace(config.model.field.grid, **grid_over),
         )
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, field=field)
