@@ -69,7 +69,8 @@ def bench_pipeline_count():
     tag = "v4_20f100c128px_4k_bias3"  # bump to invalidate the cache
     out = Path(__file__).resolve().parent / ".bench_cache" / tag
     report_path = out / "orchard_report.json"
-    if not report_path.exists():
+    was_cached = report_path.exists()
+    if not was_cached:
         p = argparse.ArgumentParser()
         orchard_e2e.add_args(p)
         args = p.parse_args([
@@ -89,7 +90,7 @@ def bench_pipeline_count():
         "pipeline_count_error_pct", round(err_pct, 2), "%",
         count=count, gt_count=gt, f1=round(float(row.get("F1", 0.0)), 4),
         eval_psnr=report.get("eval", {}).get("psnr"),
-        cached=report_path.exists(),
+        cached=was_cached,
     )
 
 
@@ -268,7 +269,9 @@ def main():
     # (bwd histogram) + W*16 + small — with per-level table sizes.
     gm = gconfig.model
     layout = gm.field.grid.level_layout()
-    p_pts = 4096 * gm.num_nerf_samples + gm.sparsity_num_points
+    # sparsity-prior points run through the encoder only when the prior is on
+    sp_pts = gm.sparsity_num_points if gm.density_sparsity_mult > 0 else 0
+    p_pts = 4096 * gm.num_nerf_samples + sp_pts
     enc_macs = sum(2 * (k * lo * 16) + lo * 16 * 16 for _, k, lo, _ in layout)
     grid_flops = 2.0 * p_pts * enc_macs
     xla_flops = None

@@ -295,6 +295,7 @@ def cached_render_scene(config: SyntheticSceneConfig, cache_dir=None):
     config; cache_dir defaults to <repo>/.scene_cache (gitignored)."""
     import dataclasses
     import hashlib
+    import os
     from pathlib import Path
 
     if cache_dir is None:
@@ -306,10 +307,24 @@ def cached_render_scene(config: SyntheticSceneConfig, cache_dir=None):
     path = cache_dir / f"scene_v2_{key}.npz"  # v2: HIGHEST-precision tracer
     if path.exists():
         with np.load(path) as z:
-            return {k: z[k] if z[k].shape else z[k].item() for k in z.files}
+            out = {k: z[k] if z[k].shape else z[k].item() for k in z.files}
+        # images/masks are stored quantized (exact uint8/255 values from the
+        # device renderer) — 4x smaller cache files, byte-identical floats
+        for k in ("images", "masks"):
+            if out[k].dtype == np.uint8:
+                out[k] = out[k].astype(np.float32) / 255.0
+        return out
     scene = render_scene(config)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp.npz")
-    np.savez_compressed(tmp, **scene)
+    packed = dict(scene)
+    for k in ("images", "masks"):
+        v = packed[k]
+        u8 = np.round(v * 255.0).astype(np.uint8)
+        if np.array_equal(u8.astype(np.float32) / 255.0, v):
+            packed[k] = u8  # lossless round trip only
+    # per-process tmp name: two racing cache misses must not interleave
+    # writes into one file (rename is the atomic step)
+    tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez_compressed(tmp, **packed)
     tmp.replace(path)
     return scene

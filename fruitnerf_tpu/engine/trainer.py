@@ -470,9 +470,14 @@ def train_loop(
         n = min(chunk_len - (it % chunk_len), config.max_iters - it)
         state, metrics = advance(state, n)
         it += n
-        if writer is not None and it % config.steps_per_log == 0:
+        if writer is not None and config.steps_per_log > 0 and it % config.steps_per_log == 0:
             writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
-        if it % config.steps_per_eval == 0 and eval_indices is not None and len(eval_indices):
+        if (
+            config.steps_per_eval > 0
+            and it % config.steps_per_eval == 0
+            and eval_indices is not None
+            and len(eval_indices)
+        ):
             # rotate through the eval cameras across eval steps (the reference
             # evals a random eval image each time, fruit_pipeline.py:147-155)
             which = (it // config.steps_per_eval - 1) % len(eval_indices)
@@ -481,7 +486,7 @@ def train_loop(
             )
             if writer is not None:
                 writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
-        if checkpoint_dir is not None and it % config.steps_per_save == 0:
+        if checkpoint_dir is not None and config.steps_per_save > 0 and it % config.steps_per_save == 0:
             save_checkpoint(checkpoint_dir, state)
         for cb in callbacks:
             cb(int(state.step), state, metrics)

@@ -119,11 +119,12 @@ def main(args):
 
     # ---- one batched program trains every scene ---------------------------
     devices = jax.devices()
-    # shard the scene axis only when it divides the device count; a single
-    # chip runs all scenes batched in one program (vmap), zero collectives
+    # shard the scene axis when there is a device per scene; otherwise (more
+    # scenes than devices) a single chip runs all scenes batched in one
+    # program (vmap), zero collectives
     mesh = (
         make_mesh(devices[: args.scenes])
-        if len(devices) >= args.scenes > 1 and args.scenes % len(devices[: args.scenes]) == 0
+        if len(devices) >= args.scenes > 1
         else None
     )
     # threefry keys: rbg keys are NOT vmap-invariant (NOTES_ROUND2), and the

@@ -248,7 +248,7 @@ function refresh(preview){
 sl.querySelectorAll('input').forEach(e=>e.oninput=()=>{
  crop[e.dataset.k][e.dataset.i]=parseFloat(e.value);cmdline();refresh(true);});
 document.querySelectorAll('#panel,#size,#showcrop').forEach(
- e=>e.onchange=refresh);
+ e=>e.onchange=()=>refresh(false));
 const img=document.getElementById('img');
 let drag=null;
 img.onmousedown=e=>{drag=[e.clientX,e.clientY];e.preventDefault();};
