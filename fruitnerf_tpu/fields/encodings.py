@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -287,6 +288,11 @@ class GridEncodingConfig:
     # per (point, level) is 2*K + 2*(16*T/K) lanes, minimized near
     # K = sqrt(16*T); 512 is the sweet spot for T = 4096-16384.
     radix: int = 512
+    # cell-mode forward fetch: "onehot" (16*T MACs per point-level, MXU) or
+    # "gather" (one tpu.dynamic_gather per point-level for every level whose
+    # [T_l/8, 128] view fits the point block — raise block_points to cover
+    # larger tables). Default from FRUITNERF_GRID_FETCH for hardware A/B.
+    fetch: str = os.environ.get("FRUITNERF_GRID_FETCH", "onehot")
 
     def __post_init__(self):
         t = self.table_size
@@ -304,6 +310,11 @@ class GridEncodingConfig:
             raise ValueError(
                 "cell mode packs 8 corners x F=2 features into 16-lane rows; "
                 f"features_per_level must be 2, got {self.features_per_level}"
+            )
+        if self.fetch not in ("onehot", "gather"):
+            raise ValueError(
+                f"GridEncodingConfig.fetch must be 'onehot' or 'gather'; "
+                f"got {self.fetch!r}"
             )
 
     @property
@@ -386,6 +397,7 @@ def grid_encode(
             jnp.dtype(compute_dtype).name,
             config.needs_pos_grad,
             config.block_points,
+            config.fetch,
         )
     else:
         from ..ops.pallas.hash_grid import grid_encode_flat
