@@ -81,11 +81,7 @@ def orthographic_ray_grid(aabb: np.ndarray, n: int, axis: int = 2):
     return origins, direction, far
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model_config", "num_samples", "capacity"),
-)
-def _export_batch_compact(
+def _export_batch_core(
     params,
     origins,
     direction,
@@ -135,9 +131,59 @@ def _export_batch_compact(
             "points": out[:, :3],
             "colors": out[:, 3:],
             "valid": valid,
-            "count": count,
+            # [1] (not scalar) so the mesh path can concatenate shard counts
+            # along axis 0
+            "count": count[None],
         }
     return results
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_config", "num_samples", "capacity"),
+)
+def _export_batch_compact(
+    params, origins, direction, far, scene_aabb, thresholds,
+    model_config: FruitModelConfig, num_samples: int, capacity: int,
+):
+    return _export_batch_core(
+        params, origins, direction, far, scene_aabb, thresholds,
+        model_config, num_samples, capacity,
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _export_batch_sharded(mesh, model_config, num_samples, capacity):
+    """shard_map the export batch over the mesh's 'data' axis: each device
+    field-queries and compacts ITS ray shard locally (no collectives); the
+    host slices each shard's [capacity, ...] block by its count. This is the
+    TPU scaling story for the N^3 probe stream (N=1000-2000 -> 1-8G probes,
+    exporter.py:77-78) — the reference export is strictly single-GPU."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    leaf_specs = {
+        "points": P("data", None),
+        "colors": P("data", None),
+        "valid": P("data"),
+        "count": P("data"),
+    }
+    out_specs = {
+        name: dict(leaf_specs)
+        for name in ("semantic", "semantic_colormap", "density")
+    }
+    fn = shard_map(
+        functools.partial(
+            _export_batch_core,
+            model_config=model_config,
+            num_samples=num_samples,
+            capacity=capacity,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("data", None), P(), P(), P(), P()),
+        out_specs=out_specs,
+    )
+    return jax.jit(fn)
 
 
 def sample_volume(
@@ -148,23 +194,30 @@ def sample_volume(
     output_dir,
     scene_aabb=None,  # [2,3]; defaults to the +-1 scene box
     progress: bool = True,
+    mesh=None,  # jax.sharding.Mesh with a 'data' axis: shard the ray stream
 ) -> dict:
     """Stream the N^3 probe grid through the field; write the three .ply
-    clouds. Returns {name: {"points", "colors", "path", "overflowed"}}."""
+    clouds. Returns {name: {"points", "colors", "path", "overflowed"}}.
+    With ``mesh``, each device queries+compacts its shard of every ray batch
+    (see _export_batch_sharded)."""
     n = export_config.num_points_per_side
     aabb = export_config.aabb
     origins_np, direction_np, far = orthographic_ray_grid(aabb, n)
     num_samples = n
+    num_shards = int(mesh.devices.size) if mesh is not None else 1
     # Probes per jit call = rays x samples; at large N the configured ray
     # batch would put >16M probes into one program (N=512 x 32768 rays blew
-    # up the v5e compiler). Cap the per-call probe count and shrink the ray
-    # batch to fit; the stream loop makes up the difference in iterations.
-    max_probes = 1 << 22
+    # up the v5e compiler). Cap the per-call probe count (per shard) and
+    # shrink the ray batch to fit; the stream loop makes up the difference.
+    max_probes = (1 << 22) * num_shards
     batch = min(
         export_config.num_rays_per_batch,
         max(1024, max_probes // num_samples),
     )
-    capacity = max(1024, int(batch * n * export_config.compaction_fraction))
+    batch = max(num_shards, batch - batch % num_shards)
+    cap_shard = max(
+        1024, int(batch * n * export_config.compaction_fraction) // num_shards
+    )
     thresholds = jnp.asarray(
         [
             export_config.semantic_logit_threshold,
@@ -189,26 +242,36 @@ def sample_volume(
             chunk = np.concatenate(
                 [chunk, np.full((pad, 3), 1e6, np.float32)], axis=0
             )
-        results = _export_batch_compact(
-            params,
-            jnp.asarray(chunk),
-            direction,
-            jnp.asarray(far),
-            scene_aabb_j,
-            thresholds,
-            model_config,
-            num_samples,
-            capacity,
-        )
+        if mesh is not None:
+            fn = _export_batch_sharded(mesh, model_config, num_samples, cap_shard)
+            results = fn(
+                params, jnp.asarray(chunk), direction, jnp.asarray(far),
+                scene_aabb_j, thresholds,
+            )
+        else:
+            results = _export_batch_compact(
+                params,
+                jnp.asarray(chunk),
+                direction,
+                jnp.asarray(far),
+                scene_aabb_j,
+                thresholds,
+                model_config,
+                num_samples,
+                cap_shard,
+            )
         for name, res in results.items():
-            count = int(res["count"])  # tiny sync
-            if count > capacity:
-                acc[name]["overflowed"] += count - capacity
-            n = min(count, capacity)
-            # slice on device BEFORE the host transfer: fruit points are a
-            # tiny fraction of capacity, and host links can be slow
-            acc[name]["points"].append(np.asarray(res["points"][:n]))
-            acc[name]["colors"].append(np.asarray(res["colors"][:n]))
+            counts = np.asarray(res["count"])  # [num_shards], tiny sync
+            for i, count in enumerate(counts):
+                count = int(count)
+                if count > cap_shard:
+                    acc[name]["overflowed"] += count - cap_shard
+                m = min(count, cap_shard)
+                lo = i * cap_shard
+                # slice on device BEFORE the host transfer: fruit points are
+                # a tiny fraction of capacity, and host links can be slow
+                acc[name]["points"].append(np.asarray(res["points"][lo : lo + m]))
+                acc[name]["colors"].append(np.asarray(res["colors"][lo : lo + m]))
         if progress:
             done = min(start + batch, total)
             print(

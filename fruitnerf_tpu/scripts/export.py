@@ -32,6 +32,12 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--semantic-logit-threshold", type=float, default=3.0)
     p.add_argument("--density-threshold", type=float, default=70.0)
     p.add_argument("--colormap-prob-threshold", type=float, default=0.999)
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard the probe stream over all visible devices (each device "
+             "field-queries + compacts its ray shard; combine with the "
+             "global --cpu-mesh N to exercise without chips)",
+    )
 
 
 def main(args):
@@ -98,12 +104,19 @@ def main(args):
         density_threshold=args.density_threshold,
         colormap_prob_threshold=args.colormap_prob_threshold,
     )
+    mesh = None
+    if getattr(args, "mesh", False):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
     out = sample_volume(
         state.params["model"],
         config.model,
         export_config,
         dataparser_scale=manifest["dataparser_scale"],
         output_dir=args.output_dir,
+        mesh=mesh,
     )
     for name, d in out.items():
         print(f"{name}: {d['points'].shape[0]} points -> {d['path']}")

@@ -249,6 +249,52 @@ def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
             sem.shape, float(np.median(d)))
 
 
+def test_volume_export_mesh_sharded_equivalence(trained, config, tmp_path):
+    """Mesh-sharded export (each device compacts its ray shard) recovers the
+    same point multiset as the single-device stream — the export-side scaling
+    story (SURVEY §5: 'stream the N^3 export grid as sharded batched
+    queries'); the reference export is strictly single-GPU (exporter.py)."""
+    from jax.sharding import Mesh
+
+    from fruitnerf_tpu.export.volume_sampler import ExportConfig, sample_volume
+
+    state, _, _ = trained
+    exp_cfg = ExportConfig(
+        bounding_box_min=(-0.7, -0.7, -0.7),
+        bounding_box_max=(0.7, 0.7, 0.7),
+        num_points_per_side=32,
+        num_rays_per_batch=32 * 32,
+        semantic_logit_threshold=-1.0,
+        density_threshold=0.3,
+        colormap_prob_threshold=0.6,
+        compaction_fraction=0.5,
+    )
+
+    def run(mesh, sub):
+        return sample_volume(
+            state.params["model"], config.model, exp_cfg,
+            dataparser_scale=1.0, output_dir=tmp_path / sub, progress=False,
+            mesh=mesh,
+        )
+
+    out1 = run(None, "single")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    out8 = run(mesh, "mesh")
+    for name in ("semantic", "semantic_colormap", "density"):
+        p1, p8 = out1[name]["points"], out8[name]["points"]
+        assert p1.shape == p8.shape, (name, p1.shape, p8.shape)
+        assert not out1[name]["overflowed"] and not out8[name]["overflowed"]
+        if p1.shape[0] == 0:
+            continue
+        o1 = np.lexsort(p1.T)
+        o8 = np.lexsort(p8.T)
+        np.testing.assert_allclose(p1[o1], p8[o8], atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(
+            out1[name]["colors"][o1], out8[name]["colors"][o8], atol=1e-5,
+            err_msg=name,
+        )
+
+
 def test_distortion_loss_opt_in(config, data):
     """The reference keeps distortion metric-only (fruit_nerf.py:400); the
     opt-in flag must add it as a real loss term (anti-floater at scale)."""
