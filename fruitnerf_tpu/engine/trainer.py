@@ -356,13 +356,73 @@ def _render_rays_chunked(params, bundle_flat, config, height, width):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _render_sharded_fn(mesh, config, height, width):
+    """Full-image render with the ray axis sharded over the mesh's 'data'
+    axis: each device runs the chunked forward on its ray shard (per-ray
+    math, no collectives). The reference's analog is chunking only
+    (fruit_nerf.py:225-249) — eval/viewer rendering never scales past one
+    GPU there."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = int(mesh.devices.size)
+    chunk = config.eval_rays_per_chunk
+    n = height * width
+    n_pad = ((n + chunk * ndev - 1) // (chunk * ndev)) * (chunk * ndev)
+
+    def local(params, bundle_shard):
+        reshaped = jax.tree.map(
+            lambda x: x.reshape(-1, chunk, *x.shape[1:]), bundle_shard
+        )
+
+        def chunk_fn(b):
+            out = forward_train(
+                params["model"], b, config.model, key=None,
+                step=jnp.asarray(1 << 30), train=False,
+            )
+            return {
+                "rgb": out["rgb"],
+                "depth": out["depth"],
+                "accumulation": out["accumulation"],
+                "semantics": out["semantics"],
+                "semantics_colormap": out["semantics_colormap"],
+            }
+
+        outs = jax.lax.map(chunk_fn, reshaped)
+        return jax.tree.map(
+            lambda x: x.reshape(-1, *x.shape[2:]), outs
+        )
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")
+    )
+
+    @jax.jit
+    def run(params, bundle_flat):
+        def pad(x):
+            pad_width = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad_width)
+
+        outs = fn(params, jax.tree.map(pad, bundle_flat))
+        return jax.tree.map(
+            lambda x: x[:n].reshape(height, width, *x.shape[1:]), outs
+        )
+
+    return run
+
+
 def render_camera(
-    params, cameras: Cameras, camera_index: int, config: TrainConfig
+    params, cameras: Cameras, camera_index: int, config: TrainConfig,
+    mesh=None,
 ) -> dict[str, jnp.ndarray]:
-    """Render every output panel for one camera ([H,W,...] arrays)."""
+    """Render every output panel for one camera ([H,W,...] arrays). With
+    ``mesh``, rays shard over the 'data' axis (see _render_sharded_fn)."""
     h = int(cameras.height[camera_index])
     w = int(cameras.width[camera_index])
     bundle = generate_image_rays(cameras, camera_index, h, w)
+    if mesh is not None:
+        return _render_sharded_fn(mesh, config, h, w)(params, bundle)
     return _render_rays_chunked(params, bundle, config, h, w)
 
 
@@ -386,6 +446,7 @@ def evaluate_image(
     camera_index: int,
     config: TrainConfig,
     lpips_weights_path=None,
+    mesh=None,
 ) -> tuple[dict, dict]:
     """Renders one eval camera and computes PSNR/SSIM/IoU + throughput
     (fruit_pipeline.py:157-227 emits num_rays_per_sec and fps). LPIPS is
@@ -395,7 +456,7 @@ def evaluate_image(
     from ..utils import metrics as M
 
     t0 = time.perf_counter()
-    out = render_camera(params, data.cameras, camera_index, config)
+    out = render_camera(params, data.cameras, camera_index, config, mesh=mesh)
     jax.block_until_ready(out["rgb"])
     dt = time.perf_counter() - t0
     h, w = out["rgb"].shape[:2]
@@ -508,13 +569,15 @@ def subsample_train_images(data: DeviceDataset, max_images: int) -> DeviceDatase
 def evaluate_all(
     params, data: DeviceDataset, indices, config: TrainConfig,
     lpips_weights_path=None,
+    mesh=None,
 ) -> dict:
     """Average eval metrics over cameras + throughput, the
     ``get_average_eval_image_metrics`` analog (fruit_pipeline.py:176-227)."""
     all_stats = []
     for ci in indices:
         stats, _ = evaluate_image(
-            params, data, int(ci), config, lpips_weights_path=lpips_weights_path
+            params, data, int(ci), config,
+            lpips_weights_path=lpips_weights_path, mesh=mesh,
         )
         all_stats.append(stats)
     keys = all_stats[0].keys()

@@ -18,6 +18,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True, help="dataset dir or 'synthetic'")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--cameras", type=int, nargs="*", default=[0])
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard each camera's rays over all visible devices",
+    )
 
 
 def _save(arr, path):
@@ -68,10 +72,15 @@ def main(args):
             parse_transforms(DataParserConfig(data_dir=Path(args.data)))
         ).cameras
 
+    mesh = None
+    if getattr(args, "mesh", False):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     for ci in args.cameras:
-        panels = render_camera(state.params, cameras, ci, config)
+        panels = render_camera(state.params, cameras, ci, config, mesh=mesh)
         _save(panels["rgb"], out / f"cam{ci:03d}_rgb.png")
         _save(panels["depth"], out / f"cam{ci:03d}_depth.png")
         _save(panels["accumulation"], out / f"cam{ci:03d}_acc.png")

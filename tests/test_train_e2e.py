@@ -249,6 +249,24 @@ def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
             sem.shape, float(np.median(d)))
 
 
+def test_render_camera_mesh_sharded_equivalence(trained, config, data):
+    """Ray-sharded full-image rendering == single-device chunked rendering
+    (SURVEY §5: shard the ray axis across the mesh — 'sequence parallelism'
+    for rays; the reference only chunks, fruit_nerf.py:225-249)."""
+    from jax.sharding import Mesh
+
+    from fruitnerf_tpu.engine.trainer import render_camera
+
+    state, _, _ = trained
+    out1 = render_camera(state.params, data.cameras, 0, config)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    out8 = render_camera(state.params, data.cameras, 0, config, mesh=mesh)
+    for k in out1:
+        np.testing.assert_allclose(
+            np.asarray(out1[k]), np.asarray(out8[k]), atol=1e-5, err_msg=k
+        )
+
+
 def test_volume_export_mesh_sharded_equivalence(trained, config, tmp_path):
     """Mesh-sharded export (each device compacts its ray shard) recovers the
     same point multiset as the single-device stream — the export-side scaling
