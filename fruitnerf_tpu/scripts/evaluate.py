@@ -22,6 +22,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--split", default="eval", choices=["eval", "train", "all"])
     p.add_argument("--lpips-weights", default=None,
                    help="npz of LPIPS backbone weights (utils/lpips.py schema)")
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard each camera's rays over all visible devices",
+    )
 
 
 def main(args):
@@ -74,9 +78,14 @@ def main(args):
         "train": train_idx,
         "all": np.arange(data.cameras.num_cameras),
     }[args.split]
+    mesh = None
+    if getattr(args, "mesh", False):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
     stats = evaluate_all(
         state.params, data, indices, config,
-        lpips_weights_path=args.lpips_weights,
+        lpips_weights_path=args.lpips_weights, mesh=mesh,
     )
     stats["num_images_evaluated"] = len(indices)
     stats["step"] = int(state.step)
