@@ -319,6 +319,22 @@ def build_step_fn(config: TrainConfig, mesh=None):
 # ---------------------------------------------------------------------------
 
 
+def _panel_chunk(params, config, b):
+    """One eval-mode forward on a ray chunk -> the 5 output panels (shared
+    by the single-device and mesh-sharded render paths)."""
+    out = forward_train(
+        params["model"], b, config.model, key=None,
+        step=jnp.asarray(1 << 30), train=False,
+    )
+    return {
+        "rgb": out["rgb"],
+        "depth": out["depth"],
+        "accumulation": out["accumulation"],
+        "semantics": out["semantics"],
+        "semantics_colormap": out["semantics_colormap"],
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("config", "height", "width"))
 def _render_rays_chunked(params, bundle_flat, config, height, width):
     chunk = config.eval_rays_per_chunk
@@ -334,20 +350,9 @@ def _render_rays_chunked(params, bundle_flat, config, height, width):
         lambda x: x.reshape(n_pad // chunk, chunk, *x.shape[1:]), padded
     )
 
-    def chunk_fn(b):
-        out = forward_train(
-            params["model"], b, config.model, key=None,
-            step=jnp.asarray(1 << 30), train=False,
-        )
-        return {
-            "rgb": out["rgb"],
-            "depth": out["depth"],
-            "accumulation": out["accumulation"],
-            "semantics": out["semantics"],
-            "semantics_colormap": out["semantics_colormap"],
-        }
-
-    outs = jax.lax.map(chunk_fn, reshaped)
+    outs = jax.lax.map(
+        functools.partial(_panel_chunk, params, config), reshaped
+    )
     return jax.tree.map(
         lambda x: x.reshape(n_pad, *x.shape[2:])[:n].reshape(
             height, width, *x.shape[2:]
@@ -375,21 +380,9 @@ def _render_sharded_fn(mesh, config, height, width):
         reshaped = jax.tree.map(
             lambda x: x.reshape(-1, chunk, *x.shape[1:]), bundle_shard
         )
-
-        def chunk_fn(b):
-            out = forward_train(
-                params["model"], b, config.model, key=None,
-                step=jnp.asarray(1 << 30), train=False,
-            )
-            return {
-                "rgb": out["rgb"],
-                "depth": out["depth"],
-                "accumulation": out["accumulation"],
-                "semantics": out["semantics"],
-                "semantics_colormap": out["semantics_colormap"],
-            }
-
-        outs = jax.lax.map(chunk_fn, reshaped)
+        outs = jax.lax.map(
+            functools.partial(_panel_chunk, params, config), reshaped
+        )
         return jax.tree.map(
             lambda x: x.reshape(-1, *x.shape[2:]), outs
         )

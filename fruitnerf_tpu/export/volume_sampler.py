@@ -235,6 +235,15 @@ def sample_volume(
         for k in ("semantic", "semantic_colormap", "density")
     }
     total = origins_np.shape[0]
+    # shard-balance: shard_map hands each device a CONTIGUOUS row slab of the
+    # batch, and the orthographic grid is u-major — a fruit-dense band would
+    # concentrate hits (and compaction overflow) on one shard. A stride
+    # permutation gives every shard a uniform subsample of the face.
+    shard_perm = (
+        np.arange(batch).reshape(-1, num_shards).T.ravel()
+        if num_shards > 1
+        else None
+    )
     for start in range(0, total, batch):
         chunk = origins_np[start : start + batch]
         if chunk.shape[0] < batch:  # pad to static shape; padded rays land
@@ -242,6 +251,8 @@ def sample_volume(
             chunk = np.concatenate(
                 [chunk, np.full((pad, 3), 1e6, np.float32)], axis=0
             )
+        if shard_perm is not None:
+            chunk = chunk[shard_perm]
         if mesh is not None:
             fn = _export_batch_sharded(mesh, model_config, num_samples, cap_shard)
             results = fn(

@@ -291,8 +291,14 @@ class GridEncodingConfig:
     # cell-mode forward fetch: "onehot" (16*T MACs per point-level, MXU) or
     # "gather" (one tpu.dynamic_gather per point-level for every level whose
     # [T_l/8, 128] view fits the point block — raise block_points to cover
-    # larger tables). Default from FRUITNERF_GRID_FETCH for hardware A/B.
-    fetch: str = os.environ.get("FRUITNERF_GRID_FETCH", "onehot")
+    # larger tables). "env" resolves FRUITNERF_GRID_FETCH at encode time
+    # (default onehot) so the hardware A/B can flip it after import.
+    fetch: str = "env"
+
+    def resolved_fetch(self) -> str:
+        if self.fetch == "env":
+            return os.environ.get("FRUITNERF_GRID_FETCH", "onehot")
+        return self.fetch
 
     def __post_init__(self):
         t = self.table_size
@@ -311,10 +317,10 @@ class GridEncodingConfig:
                 "cell mode packs 8 corners x F=2 features into 16-lane rows; "
                 f"features_per_level must be 2, got {self.features_per_level}"
             )
-        if self.fetch not in ("onehot", "gather"):
+        if self.fetch not in ("onehot", "gather", "env"):
             raise ValueError(
-                f"GridEncodingConfig.fetch must be 'onehot' or 'gather'; "
-                f"got {self.fetch!r}"
+                f"GridEncodingConfig.fetch must be 'onehot', 'gather', or "
+                f"'env'; got {self.fetch!r}"
             )
 
     @property
@@ -397,7 +403,7 @@ def grid_encode(
             jnp.dtype(compute_dtype).name,
             config.needs_pos_grad,
             config.block_points,
-            config.fetch,
+            config.resolved_fetch(),
         )
     else:
         from ..ops.pallas.hash_grid import grid_encode_flat

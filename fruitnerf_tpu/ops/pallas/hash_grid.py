@@ -539,14 +539,24 @@ def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, gather_levels, refs):
             # fetch cell rows by dynamic gather along sublanes: row p of the
             # result is table sublane hi3_p (the 128-lane group holding 8
             # cells); the lo3 lane mask keeps the right 16-lane cell row.
-            hi3 = jnp.broadcast_to(hi3_all[:, lvl : lvl + 1], (bp, 128))
+            # Out-of-table direct indices (positions at exactly 1.0) must
+            # match the one-hot path's zero row: clamp the gather (promise_
+            # in_bounds reads garbage past the padded view) and mask by
+            # validity.
+            idx_l = idx_all[:, lvl : lvl + 1]
+            valid = idx_l < t_l
+            hi3 = jnp.broadcast_to(
+                jnp.minimum(hi3_all[:, lvl : lvl + 1], (t_l >> 3) - 1),
+                (bp, 128),
+            )
             g = jnp.take_along_axis(
                 tbl_refs[lvl][:], hi3, axis=0, mode="promise_in_bounds"
             )
             # cast through cdt so values match the one-hot path bit-for-bit
             # (there the cdt matmul rounds the table to cdt)
-            e = jnp.where(lanes7 == lo3_all[:, lvl : lvl + 1],
-                          g.astype(cdt).astype(jnp.float32), 0.0)
+            e = jnp.where(
+                (lanes7 == lo3_all[:, lvl : lvl + 1]) & valid,
+                g.astype(cdt).astype(jnp.float32), 0.0)
             rows16 = jnp.dot(e.astype(cdt), _s_mat(128, cdt),
                              preferred_element_type=jnp.float32)  # [BP, 16]
             rows_acc = rows_acc + _put16(rows16, lvl, num_levels)
