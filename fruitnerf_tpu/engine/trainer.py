@@ -518,33 +518,66 @@ def train_loop(
             )
         return chunk_fns[n](state, data, key)
 
-    it = int(state.step)
-    metrics = None
-    while it < config.max_iters:
-        n = min(chunk_len - (it % chunk_len), config.max_iters - it)
-        state, metrics = advance(state, n)
-        it += n
-        if writer is not None and config.steps_per_log > 0 and it % config.steps_per_log == 0:
-            writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
-        if (
-            config.steps_per_eval > 0
-            and it % config.steps_per_eval == 0
-            and eval_indices is not None
-            and len(eval_indices)
-        ):
-            # rotate through the eval cameras across eval steps (the reference
-            # evals a random eval image each time, fruit_pipeline.py:147-155)
-            which = (it // config.steps_per_eval - 1) % len(eval_indices)
-            stats, _ = evaluate_image(
-                state.params, data, int(eval_indices[which]), config
-            )
-            if writer is not None:
-                writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
-        if checkpoint_dir is not None and config.steps_per_save > 0 and it % config.steps_per_save == 0:
-            save_checkpoint(checkpoint_dir, state)
-        for cb in callbacks:
-            cb(int(state.step), state, metrics)
-    return state
+    # preemption safety: SIGTERM/SIGINT set a flag; the loop checkpoints at
+    # the next chunk edge and returns early (resume_from_latest picks it up).
+    # Production TPU pools preempt with SIGTERM; the reference's only story
+    # is its periodic save (fruit_nerf_config.py:31). Main-thread only —
+    # signal.signal raises ValueError elsewhere (e.g. the viewer's threads).
+    import signal
+    import threading
+
+    stop = threading.Event()
+    prev_handlers = {}
+    if checkpoint_dir is not None and threading.current_thread() is threading.main_thread():
+
+        def _on_signal(signum, frame):
+            del frame
+            stop.set()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+
+    try:
+        it = int(state.step)
+        metrics = None
+        while it < config.max_iters:
+            n = min(chunk_len - (it % chunk_len), config.max_iters - it)
+            state, metrics = advance(state, n)
+            it += n
+            if stop.is_set():
+                jax.block_until_ready(state.params)
+                path = save_checkpoint(checkpoint_dir, state)
+                print(
+                    f"train_loop: signal received — checkpointed step "
+                    f"{int(state.step)} to {path}; exiting early",
+                    flush=True,
+                )
+                return state
+            if writer is not None and config.steps_per_log > 0 and it % config.steps_per_log == 0:
+                writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
+            if (
+                config.steps_per_eval > 0
+                and it % config.steps_per_eval == 0
+                and eval_indices is not None
+                and len(eval_indices)
+            ):
+                # rotate through the eval cameras across eval steps (the
+                # reference evals a random eval image each time,
+                # fruit_pipeline.py:147-155)
+                which = (it // config.steps_per_eval - 1) % len(eval_indices)
+                stats, _ = evaluate_image(
+                    state.params, data, int(eval_indices[which]), config
+                )
+                if writer is not None:
+                    writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
+            if checkpoint_dir is not None and config.steps_per_save > 0 and it % config.steps_per_save == 0:
+                save_checkpoint(checkpoint_dir, state)
+            for cb in callbacks:
+                cb(int(state.step), state, metrics)
+        return state
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
 
 def subsample_train_images(data: DeviceDataset, max_images: int) -> DeviceDataset:

@@ -249,6 +249,39 @@ def test_volume_export_finds_fruit(trained, config, data, scene, tmp_path):
             sem.shape, float(np.median(d)))
 
 
+def test_train_loop_sigterm_checkpoints_and_exits(config, data, tmp_path):
+    """Preemption safety: SIGTERM mid-run makes train_loop checkpoint at the
+    next chunk edge and return early; resume_from_latest continues from it.
+    (Production TPU pools preempt with SIGTERM; the reference only has its
+    periodic save, fruit_nerf_config.py:31.)"""
+    import dataclasses as dc
+    import os
+    import signal
+
+    from fruitnerf_tpu.engine.checkpoints import latest_checkpoint, resume_from_latest
+    from fruitnerf_tpu.engine.trainer import init_train_state, train_loop
+
+    cfg = dc.replace(config, max_iters=50, steps_per_save=1000, steps_per_eval=0)
+    fired = []
+
+    def send_sigterm(step, state, metrics):
+        if step >= 3 and not fired:
+            fired.append(step)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    prev = signal.getsignal(signal.SIGTERM)
+    state = train_loop(
+        cfg, data, checkpoint_dir=tmp_path, callbacks=(send_sigterm,)
+    )
+    assert signal.getsignal(signal.SIGTERM) == prev, "handler not restored"
+    assert fired and int(state.step) < 50, int(state.step)
+    ckpt = latest_checkpoint(tmp_path)
+    assert ckpt is not None
+    template = init_train_state(jax.random.PRNGKey(0), cfg, data.cameras.num_cameras)
+    resumed, ok = resume_from_latest(tmp_path, template)
+    assert ok and int(resumed.step) == int(state.step)
+
+
 def test_render_camera_mesh_sharded_equivalence(trained, config, data):
     """Ray-sharded full-image rendering == single-device chunked rendering
     (SURVEY §5: shard the ray axis across the mesh — 'sequence parallelism'
