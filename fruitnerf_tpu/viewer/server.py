@@ -105,11 +105,14 @@ def _to_u8(x: np.ndarray) -> np.ndarray:
 class ViewerSession:
     """Holds a loaded run and renders view-panel frames on demand."""
 
-    def __init__(self, params, config, scene_aabb=None):
+    def __init__(self, params, config, scene_aabb=None, mesh=None):
         import dataclasses
 
         self.params = params
         self.config = config
+        # multi-chip: shard each frame's rays over the mesh (render --mesh
+        # machinery); None = single-device chunked rendering
+        self.mesh = mesh
         # Preview config: ~4x fewer samples/ray for interactive orbiting.
         # Sample counts are sampling shapes, not parameters, so the same
         # params render under both configs; the client requests preview
@@ -132,7 +135,7 @@ class ViewerSession:
         self._lock = threading.Lock()  # one render at a time on the chip
 
     @classmethod
-    def from_run_dir(cls, run_dir):
+    def from_run_dir(cls, run_dir, use_mesh=False):
         import jax
 
         from ..configs import get_preset
@@ -153,8 +156,13 @@ class ViewerSession:
         state, ok = resume_from_latest(Path(run_dir) / "checkpoints", template)
         if not ok:
             raise FileNotFoundError(f"no checkpoint under {run_dir}")
+        mesh = None
+        if use_mesh:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
         return cls(state.params, config,
-                   scene_aabb=manifest.get("scene_aabb"))
+                   scene_aabb=manifest.get("scene_aabb"), mesh=mesh)
 
     def render_frame(self, theta, phi, radius, size, panel="rgb",
                      crop: np.ndarray | None = None,
@@ -164,7 +172,9 @@ class ViewerSession:
         cameras = orbit_camera(theta, phi, radius, size)
         config = self.preview_config if preview else self.config
         with self._lock:
-            panels = render_camera(self.params, cameras, 0, config)
+            panels = render_camera(
+                self.params, cameras, 0, config, mesh=self.mesh
+            )
         if panel == "rgb":
             img = _to_u8(np.asarray(panels["rgb"]))
         elif panel == "semantics":
@@ -335,10 +345,16 @@ def add_args(p):
     p.add_argument("--load-dir", required=True, help="run dir with manifest")
     p.add_argument("--port", type=int, default=7007)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="shard each frame's rays over all visible devices",
+    )
 
 
 def main(args):
-    session = ViewerSession.from_run_dir(args.load_dir)
+    session = ViewerSession.from_run_dir(
+        args.load_dir, use_mesh=getattr(args, "mesh", False)
+    )
     httpd = serve(session, port=args.port, host=args.host)
     print(f"viewer at http://{args.host}:{args.port}/  (ctrl-c to stop)")
     try:

@@ -109,6 +109,19 @@ def test_suggest_crop_endpoint(base_url):
         assert (aabb[0] <= aabb[1]).all()
 
 
+def test_render_frame_mesh_matches_single(session):
+    """Viewer frames with the rays sharded over the 8-device virtual mesh
+    match the single-device path (multi-chip viewer interactivity)."""
+    from jax.sharding import Mesh
+
+    config = fruit_nerf_smoke(num_images=4)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    sharded = ViewerSession(session.params, config, mesh=mesh)
+    img1 = session.render_frame(0.5, 0.4, 2.5, 48)
+    img8 = sharded.render_frame(0.5, 0.4, 2.5, 48)
+    np.testing.assert_array_equal(img1, img8)
+
+
 def test_draw_crop_box_in_front_only():
     img = np.zeros((64, 64, 3), np.uint8)
     cams = orbit_camera(0.3, 0.5, 2.5, 64)
