@@ -18,7 +18,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -287,18 +286,9 @@ class GridEncodingConfig:
     # cell mode: contraction width of the one-hot radix split. The VPU cost
     # per (point, level) is 2*K + 2*(16*T/K) lanes, minimized near
     # K = sqrt(16*T); 512 is the sweet spot for T = 4096-16384.
+    # (A sublane dynamic-gather fetch was A/B'd on v5e and rejected by
+    # Mosaic for any table over 64 cells — see ops/pallas/hash_grid.py.)
     radix: int = 512
-    # cell-mode forward fetch: "onehot" (16*T MACs per point-level, MXU) or
-    # "gather" (one tpu.dynamic_gather per point-level for every level whose
-    # [T_l/8, 128] view fits the point block — raise block_points to cover
-    # larger tables). "env" resolves FRUITNERF_GRID_FETCH at encode time
-    # (default onehot) so the hardware A/B can flip it after import.
-    fetch: str = "env"
-
-    def resolved_fetch(self) -> str:
-        if self.fetch == "env":
-            return os.environ.get("FRUITNERF_GRID_FETCH", "onehot")
-        return self.fetch
 
     def __post_init__(self):
         t = self.table_size
@@ -316,11 +306,6 @@ class GridEncodingConfig:
             raise ValueError(
                 "cell mode packs 8 corners x F=2 features into 16-lane rows; "
                 f"features_per_level must be 2, got {self.features_per_level}"
-            )
-        if self.fetch not in ("onehot", "gather", "env"):
-            raise ValueError(
-                f"GridEncodingConfig.fetch must be 'onehot', 'gather', or "
-                f"'env'; got {self.fetch!r}"
             )
 
     @property
@@ -403,7 +388,6 @@ def grid_encode(
             jnp.dtype(compute_dtype).name,
             config.needs_pos_grad,
             config.block_points,
-            config.resolved_fetch(),
         )
     else:
         from ..ops.pallas.hash_grid import grid_encode_flat

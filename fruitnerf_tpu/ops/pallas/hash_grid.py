@@ -502,13 +502,16 @@ def _m2l_mat(num_levels):
     return (((r >> 4) == (o >> 1)) & ((r & 1) == (o & 1))).astype(jnp.float32)
 
 
-def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, gather_levels, refs):
+def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, refs):
     """refs = (meta_ref, pos_ref, tbl_0..tbl_{L-1}, out_ref[, rows_ref]).
-    ``gather_levels[lvl]`` marks levels whose table operand is in the
-    [BP, 128] sublane-gather layout (row = cell >> 3, lane group = cell & 7)
-    instead of the [K, LO*16] one-hot layout; such levels fetch their cell
-    row with ONE tpu.dynamic_gather instead of a 16*T-MAC one-hot matmul."""
-    any_gather = any(gather_levels)
+
+    The cell fetch is a one-hot radix-split matmul (MXU). A sublane
+    dynamic-gather fetch (one tpu.dynamic_gather per point-level against a
+    [BP, 128] cell-major table view) was built and A/B'd on v5e 2026-08-18:
+    Mosaic rejects any gather whose source spans more than one vreg along
+    the gather dimension ("Not implemented: Multiple source vregs along
+    gather dimension"), i.e. tables of <= 8 sublanes = 64 cells — useless
+    for real table sizes, so the path was removed (NOTES_ROUND3)."""
     meta_ref = refs[0]
     pos_ref = refs[1]
     tbl_refs = refs[2 : 2 + num_levels]
@@ -520,47 +523,17 @@ def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, gather_levels, refs):
     _, t_sizes = layout
 
     # all-level coords + trilinear weights in WIDE arrays (see _wide_coords)
-    idx_all, hi_all, lo_all, xs, ys, zs = _wide_coords(
+    _, hi_all, lo_all, xs, ys, zs = _wide_coords(
         pos, meta_ref[:], num_levels
     )
     w8_all, _ = _wide_weights(xs, ys, zs, num_levels, with_grads=False)
     w_rep_all = jnp.dot(w8_all, _rep2(num_levels),
                         preferred_element_type=jnp.float32)  # [BP, 16L]
-    if any_gather:
-        hi3_all = idx_all >> 3  # cell >> 3 = sublane row of the cell's group
-        lo3_all = idx_all & 7
-        lanes7 = jax.lax.broadcasted_iota(jnp.int32, (bp, 128), 1) >> 4
 
     rows_acc = jnp.zeros((bp, num_levels * 16), jnp.float32)
     for lvl in range(num_levels):
         t_l, k_l, lo_l, _ = t_sizes[lvl]
         width = lo_l * 16
-        if gather_levels[lvl]:
-            # fetch cell rows by dynamic gather along sublanes: row p of the
-            # result is table sublane hi3_p (the 128-lane group holding 8
-            # cells); the lo3 lane mask keeps the right 16-lane cell row.
-            # Out-of-table direct indices (positions at exactly 1.0) must
-            # match the one-hot path's zero row: clamp the gather (promise_
-            # in_bounds reads garbage past the padded view) and mask by
-            # validity.
-            idx_l = idx_all[:, lvl : lvl + 1]
-            valid = idx_l < t_l
-            hi3 = jnp.broadcast_to(
-                jnp.minimum(hi3_all[:, lvl : lvl + 1], (t_l >> 3) - 1),
-                (bp, 128),
-            )
-            g = jnp.take_along_axis(
-                tbl_refs[lvl][:], hi3, axis=0, mode="promise_in_bounds"
-            )
-            # cast through cdt so values match the one-hot path bit-for-bit
-            # (there the cdt matmul rounds the table to cdt)
-            e = jnp.where(
-                (lanes7 == lo3_all[:, lvl : lvl + 1]) & valid,
-                g.astype(cdt).astype(jnp.float32), 0.0)
-            rows16 = jnp.dot(e.astype(cdt), _s_mat(128, cdt),
-                             preferred_element_type=jnp.float32)  # [BP, 16]
-            rows_acc = rows_acc + _put16(rows16, lvl, num_levels)
-            continue
         hi = hi_all[:, lvl : lvl + 1]
         lanes_hi = jax.lax.broadcasted_iota(jnp.int32, (bp, k_l), 1)
         oh = (hi == lanes_hi).astype(cdt)
@@ -668,48 +641,20 @@ def _cell2_bwd_kernel(layout, num_levels, cdt, needs_pos_grad, refs):
         dpos_ref[:] = jnp.zeros((bp, 3), jnp.float32)
 
 
-def cell_gather_levels(t_sizes, block_points: int, fetch: str):
-    """Which levels use the [BP, 128] sublane-gather table layout: every
-    level whose gather view (T_l/8 rows x 128 lanes) fits the point block —
-    i.e. T_l <= 8*BP. Larger tables would need idx/out shapes beyond
-    [BP, 128] (raise block_points to cover them, as the grid-variant presets
-    do for T > 8192)."""
-    if fetch != "gather":
-        return tuple(False for _ in t_sizes)
-    return tuple(t_l <= 8 * block_points for (t_l, k_l, lo_l, _) in t_sizes)
-
-
-def _gather_view(t, t_l, block_points):
-    """[K, LO*16] -> [BP, 128] sublane-gather view: the row-major flatten is
-    cell-major (element (hi, lo*16+j) sits at linear t*16+j with
-    t = hi*LO + lo), so reshape(-1, 128) puts cell t's 16 values at sublane
-    t >> 3, lanes (t & 7)*16..+16. Rows past T/8 are zero padding."""
-    v = t.reshape(-1, 128)
-    pad = block_points - v.shape[0]
-    return jnp.pad(v, ((0, pad), (0, 0))) if pad else v
-
-
 def _cell2_fwd_impl(tables, positions, resolutions, table_size, radix,
-                    compute_dtype_name, block_points, save_rows, fetch):
+                    compute_dtype_name, block_points, save_rows):
     cdt = jnp.dtype(compute_dtype_name)
     num_levels = len(resolutions)
     t_sizes = cell_level_layout(resolutions, table_size, radix)
     layout = (tuple(int(r) for r in resolutions), t_sizes)
     posp, p = _pad_points(positions.astype(jnp.float32), block_points)
     nb = posp.shape[0] // block_points
-    gather_levels = cell_gather_levels(t_sizes, block_points, fetch)
-    # gather levels ride in f32 in the gather view (the kernel casts the 16
-    # fetched lanes through cdt — cheaper than casting K*W lanes); one-hot
-    # levels are cast ONCE outside the kernel (an in-kernel per-block cast
+    # tables are cast ONCE outside the kernel (an in-kernel per-block cast
     # would re-pay K*W lanes per (block, level))
-    tables = tuple(
-        _gather_view(t, t_sizes[lvl][0], block_points)
-        if gather_levels[lvl] else t.astype(cdt)
-        for lvl, t in enumerate(tables)
-    )
+    tables = tuple(t.astype(cdt) for t in tables)
 
     kern = functools.partial(_cell2_fwd_kernel, layout, num_levels, cdt,
-                             save_rows, gather_levels)
+                             save_rows)
 
     out_shapes = [
         jax.ShapeDtypeStruct((posp.shape[0], num_levels * 2), jnp.float32)
@@ -750,38 +695,32 @@ def _cell2_fwd_impl(tables, positions, resolutions, table_size, radix,
     return res[:p]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def cell_encode(tables, positions, resolutions, table_size, radix,
-                compute_dtype_name, needs_pos_grad, block_points,
-                fetch="onehot"):
+                compute_dtype_name, needs_pos_grad, block_points):
     """tables: tuple of per-level [K_l, LO_l*16] f32 arrays (layout from
-    ``cell_level_layout``); positions [P, 3] in [0,1]^3 -> [P, L*2] f32.
-    fetch="gather" swaps the forward's one-hot matmuls for sublane
-    dynamic-gathers where the table fits (see cell_gather_levels); the
-    backward (histogram + saved rows) is identical either way."""
+    ``cell_level_layout``); positions [P, 3] in [0,1]^3 -> [P, L*2] f32."""
     return _cell2_fwd_impl(tables, positions, resolutions, table_size, radix,
-                           compute_dtype_name, block_points, save_rows=False,
-                           fetch=fetch)
+                           compute_dtype_name, block_points, save_rows=False)
 
 
 def _cell_encode_fwd(tables, positions, resolutions, table_size, radix,
-                     compute_dtype_name, needs_pos_grad, block_points,
-                     fetch="onehot"):
+                     compute_dtype_name, needs_pos_grad, block_points):
     if needs_pos_grad:
         out, rows = _cell2_fwd_impl(
             tables, positions, resolutions, table_size, radix,
-            compute_dtype_name, block_points, save_rows=True, fetch=fetch,
+            compute_dtype_name, block_points, save_rows=True,
         )
         return out, (positions, rows)
     out = _cell2_fwd_impl(
         tables, positions, resolutions, table_size, radix,
-        compute_dtype_name, block_points, save_rows=False, fetch=fetch,
+        compute_dtype_name, block_points, save_rows=False,
     )
     return out, (positions, None)
 
 
 def _cell_encode_bwd(resolutions, table_size, radix, compute_dtype_name,
-                     needs_pos_grad, block_points, fetch, residuals, g):
+                     needs_pos_grad, block_points, residuals, g):
     positions, rows = residuals
     cdt = jnp.dtype(compute_dtype_name)
     num_levels = len(resolutions)

@@ -23,9 +23,6 @@ CORNER = GridEncodingConfig(
     max_res=64, mode="corner",
 )
 CELL = dataclasses.replace(CORNER, mode="cell")
-# gather fetch with a small block so hashed levels (T=512 -> 64 rows) gather
-# while staying under 8*block_points
-CELL_GATHER = dataclasses.replace(CELL, fetch="gather", block_points=128)
 
 
 def _setup(cfg, seed=0, n=200):
@@ -48,9 +45,7 @@ def _oracle(cfg):
     )
 
 
-@pytest.mark.parametrize(
-    "cfg", [CORNER, CELL, CELL_GATHER], ids=["corner", "cell", "cell_gather"]
-)
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
 def test_forward_matches_oracle(cfg):
     table, pos = _setup(cfg)
     out = grid_encode(table, pos, cfg, compute_dtype=jnp.float32)
@@ -59,9 +54,7 @@ def test_forward_matches_oracle(cfg):
     assert out.shape == (pos.shape[0], cfg.out_dim)
 
 
-@pytest.mark.parametrize(
-    "cfg", [CORNER, CELL, CELL_GATHER], ids=["corner", "cell", "cell_gather"]
-)
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
 def test_forward_batch_shape_and_padding(cfg):
     table, pos = _setup(cfg, n=37)  # forces padding to block_points
     out = grid_encode(table, pos.reshape(37, 1, 3), cfg, jnp.float32)
@@ -72,9 +65,7 @@ def test_forward_batch_shape_and_padding(cfg):
     )
 
 
-@pytest.mark.parametrize(
-    "cfg", [CORNER, CELL, CELL_GATHER], ids=["corner", "cell", "cell_gather"]
-)
+@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
 def test_grads_match_oracle(cfg):
     table, pos = _setup(cfg, n=150)
     oracle = _oracle(cfg)
