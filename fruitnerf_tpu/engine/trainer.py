@@ -574,6 +574,14 @@ def train_loop(
                 save_checkpoint(checkpoint_dir, state)
             for cb in callbacks:
                 cb(int(state.step), state, metrics)
+        # final checkpoint at loop end (nerfstudio's Trainer also saves after
+        # training); max_iters is rarely a steps_per_save multiple
+        if (
+            checkpoint_dir is not None
+            and config.steps_per_save > 0
+            and it % config.steps_per_save != 0
+        ):
+            save_checkpoint(checkpoint_dir, state)
         return state
     finally:
         for sig, h in prev_handlers.items():

@@ -10,7 +10,18 @@ components/ray_generators.py:24-66):
   * per batch: export-mode field query (NO volume rendering) -> positions,
     rgb, semantic logits, density;
   * threshold masks (exporter_utils.py:110-114): semantic logit >= 3,
-    density >= 70, sigmoid >= 0.999;
+    density >= 70, colormap sigmoid >= 0.9. NOTE the colormap threshold:
+    the reference's export forward emits ``semantics_colormap`` as a BINARY
+    heaviside label, heaviside(sigmoid(logit) - 0.9) in {0, 1}
+    (fruit_nerf.py:261-265), and the exporter's ``>= 0.999`` compare runs on
+    that label (exporter_utils.py:106,112) — i.e. it just tests label == 1,
+    an effective sigmoid >= 0.9 (logit >= 2.197). The colormap cloud is
+    therefore a SUPERSET of the logit>=3 ``semantic`` cloud, which is why it
+    is the densest product and the counting configs' path of record
+    (clustering/config_synthetic.py:3). Round <=3 of this build misread the
+    0.999 as a raw-probability threshold and shipped a near-empty colormap
+    cloud; ``colormap_prob_threshold=0.9`` (on the raw sigmoid) reproduces
+    the reference's effective mask exactly.
   * three clouds: semantic_colormap (sigmoid mask & density), semantic
     (logit mask & density), density; colors = rgb + sigmoid confidence;
   * un-normalization: points * (1 / dataparser_scale) * 2 (exporter_utils.py:
@@ -52,7 +63,10 @@ class ExportConfig:
     num_rays_per_batch: int = 32768
     semantic_logit_threshold: float = 3.0
     density_threshold: float = 70.0
-    colormap_prob_threshold: float = 0.999
+    # Effective reference threshold: the exporter's 0.999 compare runs on a
+    # binary heaviside@0.9 label, not the raw sigmoid (fruit_nerf.py:261-265
+    # + exporter_utils.py:106,112) — see the module docstring.
+    colormap_prob_threshold: float = 0.9
     # device-side compaction capacity, as a fraction of probes per batch
     compaction_fraction: float = 1.0 / 16.0
 
@@ -81,6 +95,23 @@ def orthographic_ray_grid(aabb: np.ndarray, n: int, axis: int = 2):
     return origins, direction, far
 
 
+def export_masks(logit, prob, density, thresholds):
+    """The three survival masks (exporter_utils.py:110-114).
+
+    thresholds = [semantic_logit, density, colormap_prob]. The colormap mask
+    compares the RAW sigmoid against ``colormap_prob`` — with the default
+    0.9 this equals the reference's heaviside@0.9-label-then->=0.999 compare
+    (fruit_nerf.py:261-265 + exporter_utils.py:106,112), so under default
+    thresholds semantic (logit>=3) implies semantic_colormap (logit>=2.197):
+    the colormap cloud is the superset / path of record."""
+    dens_m = density >= thresholds[1]
+    return {
+        "semantic": (logit >= thresholds[0]) & dens_m,
+        "semantic_colormap": (prob >= thresholds[2]) & dens_m,
+        "density": dens_m,
+    }
+
+
 def _export_batch_core(
     params,
     origins,
@@ -107,12 +138,7 @@ def _export_batch_core(
     prob = out["semantics_prob"].reshape(-1)
     density = out["density"].reshape(-1)
 
-    dens_m = density >= thresholds[1]
-    masks = {
-        "semantic": (logit >= thresholds[0]) & dens_m,
-        "semantic_colormap": (prob >= thresholds[2]) & dens_m,
-        "density": dens_m,
-    }
+    masks = export_masks(logit, prob, density, thresholds)
     # pos + rgb + confidence in one row so compaction is a single scatter
     payload = jnp.concatenate([pos, rgb, prob[:, None]], axis=-1)  # [N, 7]
 

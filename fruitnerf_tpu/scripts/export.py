@@ -31,7 +31,13 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--bounding-box-max", type=float, nargs=3, default=(1, 1, 1))
     p.add_argument("--semantic-logit-threshold", type=float, default=3.0)
     p.add_argument("--density-threshold", type=float, default=70.0)
-    p.add_argument("--colormap-prob-threshold", type=float, default=0.999)
+    p.add_argument(
+        "--colormap-prob-threshold", type=float, default=0.9,
+        help="sigmoid threshold for the semantic_colormap cloud; 0.9 is the "
+             "reference's EFFECTIVE mask (its >=0.999 compare runs on the "
+             "binary heaviside@0.9 label, fruit_nerf.py:261-265 + "
+             "exporter_utils.py:106,112 — see export/volume_sampler.py)",
+    )
     p.add_argument(
         "--mesh", action="store_true",
         help="shard the probe stream over all visible devices (each device "

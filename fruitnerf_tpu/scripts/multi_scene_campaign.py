@@ -164,10 +164,12 @@ def main(args):
         )
         gt_count = args.num_fruits + s
         profile = counting_profile_for(cfg_scene.fruit_radius, gt_count)
-        # count the semantic cloud (logit>=3 & density): the colormap cloud
-        # (sigmoid >= 0.999) is near-empty below ~30k steps, and the orchard
-        # headline counts semantic too (orchard_e2e reports both)
-        pts = clouds["semantic"]["points"]
+        # count the path-of-record colormap cloud (sigmoid>=0.9 & density —
+        # a superset of the logit>=3 semantic cloud, see volume_sampler);
+        # fall back to semantic if a scene's colormap came out empty
+        pts = clouds["semantic_colormap"]["points"]
+        if len(pts) == 0:
+            pts = clouds["semantic"]["points"]
         if len(pts) == 0:
             rows.append({"scene": s, "gt": gt_count, "count": 0,
                          "error": "empty cloud"})

@@ -93,7 +93,7 @@ def test_disk_pipeline_end_to_end(capture, tmp_path):
         "--bounding-box-max", "0.55", "0.55", "0.55",
         # smoke-scale training peaks trunc_exp density at O(0.4) and fruit
         # logits at ~2.4-3.7 vs background p99 ~0.23 (probed after 800 steps
-        # at 64px); the reference run-scale thresholds (70 / 3 / 0.999) are
+        # at 64px); the reference run-scale thresholds (70 / 3 / 0.9) are
         # for 30k-step fields — the flags exist for exactly this
         "--density-threshold", "0.1",
         "--semantic-logit-threshold", "1.25",
