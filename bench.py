@@ -42,6 +42,10 @@ from __future__ import annotations
 import json
 import time
 
+from fruitnerf_tpu.utils.jitcache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 BASELINE_RAYS_PER_SEC = 30_000 * 4096 / (15 * 60)  # ~136,533
 MEASURED_BF16_PEAK_FLOPS = 170e12  # NOTES_ROUND2 measured v5e matmul peak
 

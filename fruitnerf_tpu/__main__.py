@@ -75,6 +75,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cpu_mesh:
         _pin_cpu_devices(args.cpu_mesh)
+    from .utils.jitcache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     COMMANDS[args.command].main(args)
 
 

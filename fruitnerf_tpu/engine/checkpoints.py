@@ -39,6 +39,28 @@ def save_checkpoint(checkpoint_dir, state) -> Path:
     return path
 
 
+_SAVE_POOL = None
+
+
+def save_checkpoint_async(checkpoint_dir, state):
+    """Overlap checkpoint IO with training: snapshot device->host NOW (the
+    transfer must happen before the next donated train chunk reuses the
+    buffers), then serialize + write on a single background worker (ordered
+    writes, same atomic rename). Returns a Future; call .result() to flush.
+
+    The round-3 profile attributed part of the 33% train-loop overhead to
+    the 15 blocking ~100 MB msgpack writes of a 30k run."""
+    global _SAVE_POOL
+    import concurrent.futures
+
+    if _SAVE_POOL is None:
+        _SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+    host_state = jax.device_get(state)
+    return _SAVE_POOL.submit(save_checkpoint, checkpoint_dir, host_state)
+
+
 def latest_checkpoint(checkpoint_dir) -> Path | None:
     checkpoint_dir = Path(checkpoint_dir)
     if not checkpoint_dir.is_dir():

@@ -481,9 +481,16 @@ def train_loop(
     writer=None,
     checkpoint_dir=None,
     callbacks=(),
+    timings: dict | None = None,
 ) -> TrainState:
-    """Python outer loop; all compute stays on device inside step_fn."""
-    from .checkpoints import save_checkpoint
+    """Python outer loop; all compute stays on device inside step_fn.
+
+    ``timings`` (optional dict) is filled with accumulated wall-seconds per
+    loop section: train_s (chunk dispatch+sync), eval_s, save_s — the
+    instrumentation behind the train-loop vs benched-step gap analysis."""
+    import time as _time
+
+    from .checkpoints import save_checkpoint, save_checkpoint_async
 
     # rbg keys: threefry split/fold_in fusions cost ~15ms/step on TPU v5e
     key = key if key is not None else jax.random.key(config.seed, impl="rbg")
@@ -537,15 +544,25 @@ def train_loop(
         for sig in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[sig] = signal.signal(sig, _on_signal)
 
+    if timings is None:
+        timings = {}
+    timings.setdefault("train_s", 0.0)
+    timings.setdefault("eval_s", 0.0)
+    timings.setdefault("save_s", 0.0)
+    pending_saves: list = []
+
     try:
         it = int(state.step)
         metrics = None
         while it < config.max_iters:
+            t0 = _time.perf_counter()
             n = min(chunk_len - (it % chunk_len), config.max_iters - it)
             state, metrics = advance(state, n)
             it += n
             if stop.is_set():
                 jax.block_until_ready(state.params)
+                for fut in pending_saves:
+                    fut.result()
                 path = save_checkpoint(checkpoint_dir, state)
                 print(
                     f"train_loop: signal received — checkpointed step "
@@ -555,12 +572,15 @@ def train_loop(
                 return state
             if writer is not None and config.steps_per_log > 0 and it % config.steps_per_log == 0:
                 writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
+            timings["train_s"] += _time.perf_counter() - t0
+
             if (
                 config.steps_per_eval > 0
                 and it % config.steps_per_eval == 0
                 and eval_indices is not None
                 and len(eval_indices)
             ):
+                t0 = _time.perf_counter()
                 # rotate through the eval cameras across eval steps (the
                 # reference evals a random eval image each time,
                 # fruit_pipeline.py:147-155)
@@ -570,18 +590,26 @@ def train_loop(
                 )
                 if writer is not None:
                     writer.write(int(state.step), {f"eval_{k}": v for k, v in stats.items()})
+                timings["eval_s"] += _time.perf_counter() - t0
             if checkpoint_dir is not None and config.steps_per_save > 0 and it % config.steps_per_save == 0:
-                save_checkpoint(checkpoint_dir, state)
+                t0 = _time.perf_counter()
+                # device->host snapshot blocks only on the transfer; the
+                # msgpack serialization + disk write overlap the next chunk
+                pending_saves.append(save_checkpoint_async(checkpoint_dir, state))
+                timings["save_s"] += _time.perf_counter() - t0
             for cb in callbacks:
                 cb(int(state.step), state, metrics)
         # final checkpoint at loop end (nerfstudio's Trainer also saves after
         # training); max_iters is rarely a steps_per_save multiple
-        if (
-            checkpoint_dir is not None
-            and config.steps_per_save > 0
-            and it % config.steps_per_save != 0
-        ):
-            save_checkpoint(checkpoint_dir, state)
+        if checkpoint_dir is not None and config.steps_per_save > 0:
+            t0 = _time.perf_counter()
+            if it % config.steps_per_save != 0:
+                pending_saves.append(
+                    save_checkpoint_async(checkpoint_dir, state)
+                )
+            for fut in pending_saves:
+                fut.result()  # flush + surface background-write errors
+            timings["save_s"] += _time.perf_counter() - t0
         return state
     finally:
         for sig, h in prev_handlers.items():

@@ -510,8 +510,9 @@ def _cell2_fwd_kernel(layout, num_levels, cdt, save_rows, refs):
     [BP, 128] cell-major table view) was built and A/B'd on v5e 2026-08-18:
     Mosaic rejects any gather whose source spans more than one vreg along
     the gather dimension ("Not implemented: Multiple source vregs along
-    gather dimension"), i.e. tables of <= 8 sublanes = 64 cells — useless
-    for real table sizes, so the path was removed (NOTES_ROUND3)."""
+    gather dimension"), i.e. only tables of <= 8 sublanes = 64 cells are
+    supported — useless for real table sizes, so the path was removed
+    (NOTES_ROUND3)."""
     meta_ref = refs[0]
     pos_ref = refs[1]
     tbl_refs = refs[2 : 2 + num_levels]

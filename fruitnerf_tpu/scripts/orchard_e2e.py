@@ -110,7 +110,7 @@ def main(args):
     from ..counting.clustering import FruitClustering, evaluate_against_gt
     from ..data.builder import dataset_from_scene
     from ..data.synthetic import cached_render_scene, orchard_config
-    from ..engine.checkpoints import save_checkpoint, write_manifest
+    from ..engine.checkpoints import write_manifest
     from ..engine.trainer import evaluate_all, train_loop
     from ..export.volume_sampler import ExportConfig, sample_volume
     from ..utils.writer import MetricWriter
@@ -211,8 +211,9 @@ def main(args):
             state = resumed
             print(f"resuming from step {int(state.step)}", flush=True)
     start_step = int(state.step) if state is not None else 0
+    timings: dict = {}
     state = train_loop(config, data, eval_indices=eval_idx, writer=writer,
-                       checkpoint_dir=ckpt_dir, state=state)
+                       checkpoint_dir=ckpt_dir, state=state, timings=timings)
     train_s = time.time() - t0
     report["train_s"] = round(train_s, 1)
     # on resume only (iters - start_step) steps actually ran this process
@@ -220,9 +221,15 @@ def main(args):
     report["train_rays_per_sec"] = round(
         steps_run * config.train_rays_per_batch / train_s
     )
+    # loop-section breakdown + train-only rate (excludes eval/save/compile
+    # amortization — comparable to the benched chunked-step rate)
+    report["loop_timings"] = {k: round(v, 1) for k, v in timings.items()}
+    if timings.get("train_s"):
+        report["train_rays_per_sec_train_only"] = round(
+            steps_run * config.train_rays_per_batch / timings["train_s"]
+        )
     if start_step:
         report["resumed_from_step"] = start_step
-    save_checkpoint(out / "checkpoints", state)
     write_manifest(
         out, preset=args.preset, dataparser_transform=np.eye(4)[:3],
         dataparser_scale=1.0, scene_aabb=np.array([[-1.0] * 3, [1.0] * 3]),
