@@ -26,7 +26,11 @@ import numpy as np
 def add_args(p: argparse.ArgumentParser):
     p.add_argument("--scenes", type=int, default=4)
     p.add_argument("--num-fruits", type=int, default=8,
-                   help="fruits in scene 0; scene s has num_fruits + s more")
+                   help="fruits in scene 0; scene s has num_fruits + "
+                        "s*fruit-step more")
+    p.add_argument("--fruit-step", type=int, default=1,
+                   help="fruit-count increment between scenes (spread "
+                        "campaign scenes over a density range)")
     p.add_argument("--num-cameras", type=int, default=80)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--iters", type=int, default=4000)
@@ -64,7 +68,7 @@ def main(args):
     from ..parallel.mesh import make_mesh
     from ..parallel.multi_scene import (
         init_multi_scene_state,
-        make_multi_scene_step,
+        make_multi_scene_chunk,
         stack_datasets,
     )
     from .orchard_e2e import counting_profile_for
@@ -78,7 +82,8 @@ def main(args):
     scenes = []
     for s in range(args.scenes):
         cfg_scene = orchard_config(
-            num_fruits=args.num_fruits + s, num_cameras=args.num_cameras,
+            num_fruits=args.num_fruits + s * args.fruit_step,
+            num_cameras=args.num_cameras,
             image_size=args.image_size, seed=args.seed + 101 * s,
         )
         if args.fruit_radius is not None:
@@ -131,11 +136,19 @@ def main(args):
     # scene axis is a vmap
     key = jax.random.PRNGKey(config.seed)
     states = init_multi_scene_state(key, config, n_cams, args.scenes)
-    step = make_multi_scene_step(config, mesh=mesh)
+    # per-step RNG folds in each scene's state.step inside the step fn, so a
+    # fixed key + chunked dispatch matches train_loop's scheme
+    chunk_len = min(100, args.iters)
+    step = make_multi_scene_chunk(config, mesh=mesh, length=chunk_len)
 
     t0 = time.time()
-    for it in range(args.iters):
-        states, metrics = step(states, datas, jax.random.fold_in(key, it))
+    it = 0
+    while it < args.iters:
+        n = min(chunk_len, args.iters - it)
+        if n != chunk_len:  # tail chunk gets its own program
+            step = make_multi_scene_chunk(config, mesh=mesh, length=n)
+        states, metrics = step(states, datas, key)
+        it += n
     jax.block_until_ready(metrics["total_loss"])
     losses = np.asarray(metrics["total_loss"], np.float64)
     train_s = time.time() - t0
@@ -162,7 +175,7 @@ def main(args):
             params_s, config.model, export_cfg,
             dataparser_scale=1.0, output_dir=scene_dir, progress=False,
         )
-        gt_count = args.num_fruits + s
+        gt_count = args.num_fruits + s * args.fruit_step
         profile = counting_profile_for(cfg_scene.fruit_radius, gt_count)
         # count the path-of-record colormap cloud (sigmoid>=0.9 & density —
         # a superset of the logit>=3 semantic cloud, see volume_sampler);

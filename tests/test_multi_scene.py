@@ -128,3 +128,39 @@ def test_multi_scene_campaign_cli(tmp_path):
     assert report["scenes"][0]["gt"] == 3 and report["scenes"][1]["gt"] == 4
     assert len(report["final_psnr_per_scene"]) == 2
     assert (tmp_path / "scene_00").is_dir() and (tmp_path / "scene_01").is_dir()
+
+
+def test_multi_scene_chunk_matches_single_steps():
+    """make_multi_scene_chunk(length=n) == n make_multi_scene_step calls
+    with the SAME fixed key (per-step RNG folds in each scene's state.step
+    inside the step fn) — the campaign's chunked dispatch must be
+    bit-compatible with the stepped path."""
+    from fruitnerf_tpu.parallel.multi_scene import make_multi_scene_chunk
+
+    scenes = _scenes(2)
+    datasets = [dataset_from_scene(s, train_fraction=1.0) for s in scenes]
+    config = _tiny_config(4)
+    key = jax.random.key(0)
+    stacked = stack_datasets(datasets)
+
+    def init():
+        return init_multi_scene_state(jax.random.PRNGKey(0), config, 4, 2)
+
+    chunk = make_multi_scene_chunk(config, length=3)
+    s_chunk, m_chunk = chunk(init(), stacked, key)
+
+    step = make_multi_scene_step(config)
+    s_loop = init()
+    for _ in range(3):
+        s_loop, m_loop = step(s_loop, stacked, key)
+
+    np.testing.assert_allclose(
+        np.asarray(m_chunk["total_loss"]), np.asarray(m_loop["total_loss"]),
+        rtol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_chunk.params),
+        jax.tree_util.tree_leaves(s_loop.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert np.asarray(s_chunk.step == 3).all()
