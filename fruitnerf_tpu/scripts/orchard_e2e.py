@@ -216,8 +216,9 @@ def main(args):
                        checkpoint_dir=ckpt_dir, state=state, timings=timings)
     train_s = time.time() - t0
     report["train_s"] = round(train_s, 1)
-    # on resume only (iters - start_step) steps actually ran this process
-    steps_run = max(args.iters - start_step, 1)
+    # only (final_step - start_step) steps actually ran in this process
+    # (resume starts late; SIGTERM preemption ends early)
+    steps_run = max(int(state.step) - start_step, 1)
     report["train_rays_per_sec"] = round(
         steps_run * config.train_rays_per_batch / train_s
     )
@@ -230,6 +231,16 @@ def main(args):
         )
     if start_step:
         report["resumed_from_step"] = start_step
+
+    if int(state.step) < args.iters:
+        # preempted (SIGTERM checkpoint-at-chunk-edge): don't spend minutes
+        # evaluating/exporting an unfinished field or overwrite a previous
+        # full report — record the preemption and exit; a rerun resumes
+        report["preempted_at_step"] = int(state.step)
+        with open(out / "orchard_report_preempted.json", "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
+        return
     write_manifest(
         out, preset=args.preset, dataparser_transform=np.eye(4)[:3],
         dataparser_scale=1.0, scene_aabb=np.array([[-1.0] * 3, [1.0] * 3]),
