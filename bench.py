@@ -24,7 +24,11 @@ so single-line parsers keep reading the round-1-comparable number):
   train_step_mfu_pct_grid  same for the grid flagship (the Pallas kernel
                          does bf16 one-hot matmuls XLA's flop counter does
                          not see; counted analytically: 3 x 16*F*T MACs per
-                         (point, level) fwd+bwd + histogram)
+                         (point, level) fwd+bwd + histogram). NOTE: this is
+                         a CHIP-UTILIZATION bound — the one-hot gather
+                         matmul's MACs are how the TPU expresses a table
+                         lookup, not algorithmically useful model FLOPs;
+                         do not quote it as model MFU (VERDICT r3 weak #3)
   train_rays_per_sec_grid_8192  grid flagship at 8192 rays/batch (the big
                          preset's batch; amortizes batch-independent step
                          costs)
