@@ -25,6 +25,7 @@ from .scripts import evaluate as eval_cmd
 from .scripts import export as export_cmd
 from .scripts import process_data as process_cmd
 from .scripts import render as render_cmd
+from .scripts import speed_probe as speed_cmd
 from .scripts import train as train_cmd
 from .viewer import server as viewer_cmd
 
@@ -38,6 +39,7 @@ COMMANDS = {
     "orchard-e2e": orchard_cmd,
     "multi-scene": campaign_cmd,
     "suggest-crop": crop_cmd,
+    "speed-probe": speed_cmd,
     "viewer": viewer_cmd,
 }
 
