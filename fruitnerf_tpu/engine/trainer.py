@@ -433,6 +433,24 @@ class EvalResult:
     fps: float
 
 
+@jax.jit
+def _eval_metrics(rgb, sem_logits, gt_u8, mask_u8):
+    """All four eval metrics in ONE jit: unjitted jnp calls dispatch ~15
+    eager ops each through the remote-TPU tunnel and sync the host four
+    times — measured ~1.5 s/eval of pure overhead on top of a ~1 s render
+    (60 evals x 2.5 s = the 153 s eval_s in the r4 headline loop timings)."""
+    from ..utils import metrics as M
+
+    gt = gt_u8.astype(jnp.float32) / 255.0
+    mask = mask_u8.astype(jnp.float32)
+    return {
+        "psnr": M.psnr(rgb, gt),
+        "ssim": M.ssim(rgb, gt),
+        "iou": M.binary_iou(sem_logits, mask),
+        "iou_reference_quirk": M.binary_iou_reference_quirk(sem_logits, mask),
+    }
+
+
 def evaluate_image(
     params,
     data: DeviceDataset,
@@ -446,27 +464,26 @@ def evaluate_image(
     reported too when backbone weights are supplied (fruit_nerf.py:425)."""
     import time
 
-    from ..utils import metrics as M
-
     t0 = time.perf_counter()
     out = render_camera(params, data.cameras, camera_index, config, mesh=mesh)
     jax.block_until_ready(out["rgb"])
     dt = time.perf_counter() - t0
     h, w = out["rgb"].shape[:2]
-    gt = data.images[camera_index].astype(jnp.float32) / 255.0
-    mask = data.masks[camera_index].astype(jnp.float32)
-    sem_logits = out["semantics"][..., 0]
+    m = jax.device_get(
+        _eval_metrics(
+            out["rgb"], out["semantics"][..., 0],
+            data.images[camera_index], data.masks[camera_index],
+        )
+    )
     stats = {
-        "psnr": float(M.psnr(out["rgb"], gt)),
-        "ssim": float(M.ssim(out["rgb"], gt)),
-        "iou": float(M.binary_iou(sem_logits, mask)),
-        "iou_reference_quirk": float(M.binary_iou_reference_quirk(sem_logits, mask)),
+        **{k: float(v) for k, v in m.items()},
         "num_rays_per_sec": h * w / dt,
         "fps": 1.0 / dt,
     }
     if lpips_weights_path is not None:
         from ..utils.lpips import lpips
 
+        gt = data.images[camera_index].astype(jnp.float32) / 255.0
         stats["lpips"] = lpips(out["rgb"], gt, weights_path=lpips_weights_path)
     return stats, out
 
@@ -518,11 +535,21 @@ def train_loop(
     chunk_fns: dict[int, Any] = {}
 
     def advance(state, n):
-        if n not in chunk_fns:
+        first = n not in chunk_fns
+        if first:
             chunk_fns[n] = (
                 make_train_step(config, mesh) if n == 1
                 else make_train_chunk(config, mesh, length=n)
             )
+        if first:
+            # first dispatch of a chunk shape = compile (30-120 s cold
+            # through the remote tunnel; ~1 s from the persistent cache).
+            # Timed separately so train_s reflects the steady-state rate.
+            t0 = _time.perf_counter()
+            out = chunk_fns[n](state, data, key)
+            jax.block_until_ready(out[0].step)
+            timings["compile_s"] += _time.perf_counter() - t0
+            return out
         return chunk_fns[n](state, data, key)
 
     # preemption safety: SIGTERM/SIGINT set a flag; the loop checkpoints at
@@ -549,6 +576,7 @@ def train_loop(
     timings.setdefault("train_s", 0.0)
     timings.setdefault("eval_s", 0.0)
     timings.setdefault("save_s", 0.0)
+    timings.setdefault("compile_s", 0.0)
     pending_saves: list = []
 
     try:
@@ -556,9 +584,11 @@ def train_loop(
         metrics = None
         while it < config.max_iters:
             t0 = _time.perf_counter()
+            compile_before = timings["compile_s"]
             n = min(chunk_len - (it % chunk_len), config.max_iters - it)
             state, metrics = advance(state, n)
             it += n
+            t0 += timings["compile_s"] - compile_before  # exclude compiles
             if stop.is_set():
                 jax.block_until_ready(state.params)
                 for fut in pending_saves:
@@ -571,7 +601,15 @@ def train_loop(
                 )
                 return state
             if writer is not None and config.steps_per_log > 0 and it % config.steps_per_log == 0:
-                writer.write(int(state.step), {k: float(v) for k, v in metrics.items()})
+                # ONE device_get for the whole metrics dict: per-metric
+                # float(v) is a separate synchronous transfer (~30 ms each
+                # through the remote-TPU tunnel; ~12 metrics x 300 chunks
+                # accounted for ~100 s of the r4 headline's in-train gap)
+                host_metrics = jax.device_get(metrics)
+                writer.write(
+                    int(state.step),
+                    {k: float(v) for k, v in host_metrics.items()},
+                )
             timings["train_s"] += _time.perf_counter() - t0
 
             if (
