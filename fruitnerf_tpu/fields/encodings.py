@@ -277,6 +277,15 @@ class GridEncodingConfig:
     table_size: int = 8192  # power of two >= 128 (validated below)
     base_res: int = 16
     max_res: int = 2048
+    # Two-tier capacity (cell mode): when ``mid_table_size`` is set, only the
+    # finest ``fine_levels`` levels get ``table_size`` rows; every earlier
+    # hashed level is capped at ``mid_table_size``. The kernel's cost is
+    # linear in sum(T_l) — unlike the reference's O(1)-in-T CUDA gather — so
+    # shifting rows to the fine levels (where hash collisions corrupt
+    # high-frequency detail) buys the same quality at a much cheaper step
+    # (cell_level_layout cost note; round-4 north-star retune).
+    mid_table_size: int | None = None
+    fine_levels: int = 4
     # "cell": one lookup per (point, level), 8 corner features packed in one
     #   row — the fast path (C0 seams at cell faces, sub-voxel at fine
     #   levels). "corner": exact instant-ngp trilinear sharing, ~2x slower.
@@ -301,6 +310,17 @@ class GridEncodingConfig:
         if r < 128 or (r & (r - 1)) != 0:
             raise ValueError(
                 f"GridEncodingConfig.radix must be a power of two >= 128; got {r}"
+            )
+        m = self.mid_table_size
+        if m is not None and (m < 128 or (m & (m - 1)) != 0):
+            raise ValueError(
+                f"GridEncodingConfig.mid_table_size must be a power of two "
+                f">= 128; got {m}"
+            )
+        if m is not None and not (0 <= self.fine_levels <= self.num_levels):
+            raise ValueError(
+                f"GridEncodingConfig.fine_levels must be in "
+                f"[0, num_levels]; got {self.fine_levels}"
             )
         if self.mode == "cell" and self.features_per_level != 2:
             raise ValueError(
@@ -338,12 +358,23 @@ class GridEncodingConfig:
             for lvl in range(self.num_levels)
         )
 
+    def level_caps(self):
+        """Per-level table cap: ``table_size`` (int) when uniform, else a
+        per-level tuple (mid_table_size for all but the finest fine_levels)."""
+        if self.mid_table_size is None:
+            return self.table_size
+        cut = self.num_levels - self.fine_levels
+        return tuple(
+            self.table_size if lvl >= cut else self.mid_table_size
+            for lvl in range(self.num_levels)
+        )
+
     def level_layout(self):
         """Cell mode: per-level (T_l, K_l, LO_l, use_direct)."""
         from ..ops.pallas.hash_grid import cell_level_layout
 
         return cell_level_layout(
-            self.level_resolutions(), self.table_size, self.radix
+            self.level_resolutions(), self.level_caps(), self.radix
         )
 
 
@@ -383,7 +414,7 @@ def grid_encode(
             tuple(table),
             pos,
             config.level_resolutions(),
-            config.table_size,
+            config.level_caps(),
             config.radix,
             jnp.dtype(compute_dtype).name,
             config.needs_pos_grad,

@@ -308,14 +308,32 @@ def _pow2ceil(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
-def cell_level_layout(resolutions, table_size: int, radix: int):
-    """Per-level (T_l, K_l, LO_l, use_direct). T_l = min(table_size,
+def cell_level_layout(resolutions, table_size, radix: int):
+    """Per-level (T_l, K_l, LO_l, use_direct). T_l = min(cap_l,
     pow2ceil(res^3)) with a floor of 128; direct (collision-free) indexing
-    whenever the dense cell grid fits."""
+    whenever the dense cell grid fits.
+
+    ``table_size`` is one cap for every level (int) or a per-level cap tuple
+    (len == num_levels). Per-level caps are the TPU-native capacity knob:
+    this kernel's cost is LINEAR in T_l (one-hot matmul lanes), unlike the
+    reference's O(1)-in-T CUDA gather (fruit_field.py:77-84), so a fixed
+    row budget buys the most quality when concentrated on the finest levels
+    — collisions there corrupt high-frequency detail, while coarse levels
+    have few cells and mid levels encode smooth content."""
+    caps = (
+        tuple(int(c) for c in table_size)
+        if isinstance(table_size, (tuple, list))
+        else (int(table_size),) * len(resolutions)
+    )
+    if len(caps) != len(resolutions):
+        raise ValueError(
+            f"per-level table caps: got {len(caps)} caps for "
+            f"{len(resolutions)} levels"
+        )
     out = []
-    for res in resolutions:
+    for res, cap in zip(resolutions, caps):
         cells = int(res) ** 3
-        t_l = max(128, min(int(table_size), _pow2ceil(cells)))
+        t_l = max(128, min(cap, _pow2ceil(cells)))
         use_direct = cells <= t_l
         k_l = min(int(radix), t_l)
         lo_l = t_l // k_l

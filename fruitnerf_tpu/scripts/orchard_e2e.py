@@ -46,6 +46,14 @@ def add_args(p: argparse.ArgumentParser):
                         "otherwise over-split, NOTES_ROUND3); 0 = off")
     p.add_argument("--table-size", type=int, default=None,
                    help="override the grid variant's per-level table size")
+    p.add_argument("--mid-table-size", type=int, default=None,
+                   help="two-tier capacity: cap all but the finest "
+                        "--fine-levels levels at this table size (kernel "
+                        "cost is linear in sum(T_l); see "
+                        "GridEncodingConfig.mid_table_size)")
+    p.add_argument("--fine-levels", type=int, default=None,
+                   help="how many finest levels keep the full table size "
+                        "when --mid-table-size is set (default 4)")
     p.add_argument("--grid-levels", type=int, default=None,
                    help="override the grid variant's number of levels "
                         "(same base/max res; the encode cost is linear in "
@@ -170,6 +178,10 @@ def main(args):
         grid_over["table_size"] = args.table_size
     if args.grid_levels:
         grid_over["num_levels"] = args.grid_levels
+    if args.mid_table_size:
+        grid_over["mid_table_size"] = args.mid_table_size
+    if args.fine_levels is not None:
+        grid_over["fine_levels"] = args.fine_levels
     if grid_over:
         field = dataclasses.replace(
             config.model.field,

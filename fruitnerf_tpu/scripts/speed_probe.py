@@ -27,7 +27,12 @@ BASELINE_RAYS_PER_SEC = 30_000 * 4096 / (15 * 60)
 
 
 def candidates():
-    """(name, {config overrides}) — levers named by VERDICT r3 task 3."""
+    """(name, {config overrides}) — levers named by VERDICT r3 task 3.
+
+    The mid/fine rows are the two-tier capacity retune: kernel cost is
+    linear in sum(T_l), so capping the mid levels while the finest keep
+    (or grow) their tables cuts the encode without touching the detail
+    levels (GridEncodingConfig.mid_table_size)."""
     return [
         ("default_L16_T8192_s48", {}),
         ("L14", {"grid_levels": 14}),
@@ -37,6 +42,10 @@ def candidates():
         ("s40", {"nerf_samples": 40}),
         ("L12_s40", {"grid_levels": 12, "nerf_samples": 40}),
         ("L14_T4096", {"grid_levels": 14, "table_size": 4096}),
+        ("mid4096_fine4", {"mid_table_size": 4096, "fine_levels": 4}),
+        ("mid4096_fine2_T16384",
+         {"mid_table_size": 4096, "fine_levels": 2, "table_size": 16384}),
+        ("mid2048_fine4", {"mid_table_size": 2048, "fine_levels": 4}),
     ]
 
 
@@ -46,6 +55,10 @@ def apply_overrides(config, ov: dict):
         grid_over["table_size"] = ov["table_size"]
     if ov.get("grid_levels"):
         grid_over["num_levels"] = ov["grid_levels"]
+    if ov.get("mid_table_size"):
+        grid_over["mid_table_size"] = ov["mid_table_size"]
+    if ov.get("fine_levels") is not None:
+        grid_over["fine_levels"] = ov["fine_levels"]
     if grid_over:
         field = dataclasses.replace(
             config.model.field,

@@ -23,6 +23,8 @@ CORNER = GridEncodingConfig(
     max_res=64, mode="corner",
 )
 CELL = dataclasses.replace(CORNER, mode="cell")
+# two-tier capacity: coarse/mid levels capped at 256, finest 2 keep 512
+TIERED = dataclasses.replace(CELL, mid_table_size=256, fine_levels=2)
 
 
 def _setup(cfg, seed=0, n=200):
@@ -41,11 +43,11 @@ def _oracle(cfg):
             cfg.features_per_level,
         )
     return lambda t, p: cell_encode_ref(
-        t, p, cfg.level_resolutions(), cfg.table_size, cfg.radix
+        t, p, cfg.level_resolutions(), cfg.level_caps(), cfg.radix
     )
 
 
-@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+@pytest.mark.parametrize("cfg", [CORNER, CELL, TIERED], ids=["corner", "cell", "tiered"])
 def test_forward_matches_oracle(cfg):
     table, pos = _setup(cfg)
     out = grid_encode(table, pos, cfg, compute_dtype=jnp.float32)
@@ -54,7 +56,7 @@ def test_forward_matches_oracle(cfg):
     assert out.shape == (pos.shape[0], cfg.out_dim)
 
 
-@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+@pytest.mark.parametrize("cfg", [CORNER, CELL, TIERED], ids=["corner", "cell", "tiered"])
 def test_forward_batch_shape_and_padding(cfg):
     table, pos = _setup(cfg, n=37)  # forces padding to block_points
     out = grid_encode(table, pos.reshape(37, 1, 3), cfg, jnp.float32)
@@ -65,7 +67,7 @@ def test_forward_batch_shape_and_padding(cfg):
     )
 
 
-@pytest.mark.parametrize("cfg", [CORNER, CELL], ids=["corner", "cell"])
+@pytest.mark.parametrize("cfg", [CORNER, CELL, TIERED], ids=["corner", "cell", "tiered"])
 def test_grads_match_oracle(cfg):
     table, pos = _setup(cfg, n=150)
     oracle = _oracle(cfg)
@@ -122,6 +124,29 @@ def test_table_size_validation():
         GridEncodingConfig(radix=200)
     with pytest.raises(ValueError, match="features_per_level"):
         GridEncodingConfig(features_per_level=4, mode="cell")
+    with pytest.raises(ValueError, match="mid_table_size"):
+        GridEncodingConfig(mid_table_size=3000)
+    with pytest.raises(ValueError, match="fine_levels"):
+        GridEncodingConfig(mid_table_size=256, fine_levels=99)
+
+
+def test_two_tier_level_caps_and_layout():
+    """mid_table_size caps every level except the finest fine_levels; the
+    layout still honors pow2ceil(res^3) and the 128 floor per level."""
+    caps = TIERED.level_caps()
+    assert caps == (256, 256, 512, 512)
+    layout = cell_level_layout(TIERED.level_resolutions(), caps, TIERED.radix)
+    # res 4: 64 cells -> floor 128, direct (cap can't inflate small levels)
+    assert layout[0] == (128, 128, 1, True)
+    # mid level capped at 256
+    assert layout[1][0] == 256 and not layout[1][3]
+    # fine levels keep the full 512
+    assert layout[2][0] == 512 and layout[3][0] == 512
+    # uniform config is unchanged by the caps plumbing
+    assert CELL.level_caps() == CELL.table_size
+    assert cell_level_layout(
+        CELL.level_resolutions(), CELL.table_size, CELL.radix
+    ) == CELL.level_layout()
 
 
 @pytest.mark.parametrize("radix", [128, 256, 512])
