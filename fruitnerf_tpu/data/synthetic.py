@@ -44,14 +44,31 @@ def orchard_config(
     """Reference-scale scene: the apple-orchard shape of the reference's
     synthetic evaluation (283 fruits from ~300 cams at 1024^2,
     clustering/config_synthetic.py:14). Fruit radius shrinks with count so
-    rejection sampling stays feasible in the canopy sphere."""
+    rejection sampling stays feasible in the canopy sphere.
+
+    Occlusion is held CONSTANT across fruit counts: fruit-fruit packing is
+    scale-invariant by construction (total fruit volume ~ N * r^3 is fixed
+    by the radius rule), and the leaf budget keeps total leaf cross-section
+    N_l * (1.3 r)^2 at the 283-scene value rather than growing ~ N. The old
+    ``max(200, num_fruits)`` rule made the plum-781 canopy ~40% more
+    occluding than apple-283 purely as a generator artifact (102/781 fruits
+    invisible to every camera, round-4 plum post-mortem); the reference's
+    Blender trees do not scale foliage with fruit count. The budget only
+    CAPS the old rule, so every scene with <= 283 fruits (every committed
+    headline/sparse/bench scene) is bit-identical to before."""
     radius = min(0.04, 0.45 / (2.0 * num_fruits ** (1.0 / 3.0)))
+    # leaf cross-section budget of the 283 scene: 283 * (1.3 * r_283)^2
+    r_283 = 0.45 / (2.0 * 283 ** (1.0 / 3.0))
+    leaf_budget = 283.0 * (1.3 * r_283) ** 2
+    num_leaves = max(
+        200, min(num_fruits, round(leaf_budget / (1.3 * radius) ** 2))
+    )
     return SyntheticSceneConfig(
         num_fruits=num_fruits,
         fruit_radius=float(radius),
         num_cameras=num_cameras,
         image_size=image_size,
-        num_leaves=max(200, num_fruits),
+        num_leaves=num_leaves,
         leaf_radius=float(radius * 1.3),
         fruit_shell_fraction=0.62,
         seed=seed,

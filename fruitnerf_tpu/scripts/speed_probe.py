@@ -46,6 +46,24 @@ def candidates():
         ("mid4096_fine2_T16384",
          {"mid_table_size": 4096, "fine_levels": 2, "table_size": 16384}),
         ("mid2048_fine4", {"mid_table_size": 2048, "fine_levels": 4}),
+        # inverted two-tier: the finest levels are already 100-2000x
+        # oversubscribed at T=8192 (collision-averaging regime), while the
+        # MID octaves (res ~60-300) sit at the occupancy crossover where
+        # halving T doubles real aliasing — the mid4096 fine4 283-run's +20
+        # phantom-split FPs live there (NOTES_ROUND4). So cut the fine
+        # tables, keep the mid ones: mid (all but the last fine_levels) stay
+        # 8192, finest drop to table_size
+        ("fine4096_last6", {"table_size": 4096, "mid_table_size": 8192,
+                            "fine_levels": 6}),
+        ("fine4096_last8", {"table_size": 4096, "mid_table_size": 8192,
+                            "fine_levels": 8}),
+        ("fine4096_last10", {"table_size": 4096, "mid_table_size": 8192,
+                             "fine_levels": 10}),
+        ("fine2048_last6", {"table_size": 2048, "mid_table_size": 8192,
+                            "fine_levels": 6}),
+        ("fine4096_last8_s44", {"table_size": 4096, "mid_table_size": 8192,
+                                "fine_levels": 8, "nerf_samples": 44}),
+        ("s44", {"nerf_samples": 44}),
     ]
 
 
