@@ -341,3 +341,58 @@ def get_preset(name: str, num_images: int, **kw) -> TrainConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; choose from {sorted(PRESETS)}")
     return PRESETS[name](num_images, **kw)
+
+
+# CLI/manifest config overrides. One canonical applicator so that a run's
+# overrides (recorded in its manifest as ``config_overrides``) rebuild the
+# EXACT training config at export/eval/viewer time — a checkpoint trained
+# with e.g. mid_table_size=4096 has different table shapes than the preset
+# default and silently cannot restore without this (round-5 fix; the
+# reference gets the same property from the run's config.yaml,
+# exporter.py:86). All checks use `is not None` so explicit zero/false
+# values are applied, not dropped (ADVICE r4 #3).
+_GRID_OVERRIDE_KEYS = {
+    "table_size": "table_size",
+    "grid_levels": "num_levels",
+    "mid_table_size": "mid_table_size",
+    "fine_levels": "fine_levels",
+}
+_MODEL_OVERRIDE_KEYS = {
+    "nerf_samples": "num_nerf_samples",
+    "distortion_loss": "use_distortion_loss",
+    "sparsity_loss": "density_sparsity_mult",
+    "sparsity_boost": "sparsity_unobserved_boost",
+    "sparsity_points": "sparsity_num_points",
+    "sparsity_cell": "sparsity_cell",
+}
+_FIELD_OVERRIDE_KEYS = {"density_bias": "density_bias"}
+_TRAIN_OVERRIDE_KEYS = {
+    "train_rays_per_batch": "train_rays_per_batch",
+    "camera_opt": "use_camera_opt",
+    "subpixel_jitter": "train_subpixel_jitter",
+}
+OVERRIDE_KEYS = (
+    set(_GRID_OVERRIDE_KEYS) | set(_MODEL_OVERRIDE_KEYS)
+    | set(_FIELD_OVERRIDE_KEYS) | set(_TRAIN_OVERRIDE_KEYS)
+)
+
+
+def apply_overrides(config: TrainConfig, overrides: dict) -> TrainConfig:
+    """Apply a flat override dict (see OVERRIDE_KEYS) to a preset config."""
+    unknown = set(overrides) - OVERRIDE_KEYS
+    if unknown:
+        raise KeyError(f"unknown config overrides: {sorted(unknown)}")
+    ov = {k: v for k, v in overrides.items() if v is not None}
+    grid = {dst: ov[src] for src, dst in _GRID_OVERRIDE_KEYS.items() if src in ov}
+    field = {dst: ov[src] for src, dst in _FIELD_OVERRIDE_KEYS.items() if src in ov}
+    model = {dst: ov[src] for src, dst in _MODEL_OVERRIDE_KEYS.items() if src in ov}
+    train = {dst: ov[src] for src, dst in _TRAIN_OVERRIDE_KEYS.items() if src in ov}
+    if grid:
+        field["grid"] = dataclasses.replace(config.model.field.grid, **grid)
+    if field:
+        model["field"] = dataclasses.replace(config.model.field, **field)
+    if model:
+        train["model"] = dataclasses.replace(config.model, **model)
+    if train:
+        config = dataclasses.replace(config, **train)
+    return config

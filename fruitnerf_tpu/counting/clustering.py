@@ -59,6 +59,24 @@ class CountingProfile:
     min_samples: int = 100
     cluster_merge_distance: float = 0.04
     minimum_size_factor: float = 0.3
+    # Split-branch gate: try k>1 when cluster_vol > gate * template_vol.
+    # Reference semantics: alphashape(10) volume with gate 1/0.9
+    # (clustering_base.py:372). This build measures volume with a CONVEX HULL
+    # surrogate, which over-reads fat threshold-band shells (a complete
+    # single-fruit shell's hull already equals ~1 full template volume);
+    # profiles raise the gate to compensate (round-5 full-cascade
+    # calibration on committed orchard exports: 1.6 — NOTES_ROUND5).
+    split_volume_gate: float = 1.0 / 0.9
+    # Hausdorff penalty (scene units) per extra template when choosing k:
+    # best_k = argmin_k score(k) + penalty*(k-1). The raw argmin drifts to
+    # large k on dense clouds because Ward splits beyond the true k barely
+    # change the score (flat tail) — measured round 5 on the committed
+    # round-4 clouds: raw argmin over-split +37/+25/+56 gross vs +12/+10/+39
+    # at penalty 0.35*fruit_radius (scripts_dev/calib_split.py); the
+    # production orchard profile lands on 0.2*fruit_radius by full-cascade
+    # F1 (scripts_dev/simulate_cascade.py). 0.0 reproduces the reference
+    # argmin (clustering_base.py:382-411).
+    split_k_penalty: float = 0.0
     gt_cluster: str | np.ndarray | None = None  # fruits.obj or [K,3] centers
     gt_count: int | None = None
 
@@ -173,11 +191,13 @@ class FruitClustering:
         pruned = 0
         centers = []
         counts_per_cluster = []
+        p = self.profile
         for cl in clusters:
             vol = convex_hull_volume(cl)
-            if self.template_volume < 0.9 * vol:  # clustering_base.py:372
+            if vol > p.split_volume_gate * self.template_volume:
                 scores = {
-                    k: self._fit_score_k(cl, k) for k in range(1, MAX_SPLIT_K + 1)
+                    k: self._fit_score_k(cl, k) + p.split_k_penalty * (k - 1)
+                    for k in range(1, MAX_SPLIT_K + 1)
                 }
                 best_k = min(scores, key=scores.get)
                 additional += best_k - 1

@@ -13,6 +13,7 @@ import numpy as np
 
 # (vertical half-axis ratio, equator bulge exponent, dimple depth)
 _PROFILES = {
+    "sphere": (0.5, 1.0, 0.0),  # synthetic orchard fruits are spheres
     "apple": (0.45, 1.0, 0.12),
     "pear": (0.62, 1.6, 0.0),
     "plum": (0.42, 1.0, 0.06),

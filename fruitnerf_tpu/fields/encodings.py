@@ -322,6 +322,14 @@ class GridEncodingConfig:
                 f"GridEncodingConfig.fine_levels must be in "
                 f"[0, num_levels]; got {self.fine_levels}"
             )
+        if m is not None and self.mode != "cell":
+            # the corner branch and init_grid_table only implement uniform
+            # tables; silently training with uniform capacity would misreport
+            # the recipe (ADVICE r4 #1)
+            raise ValueError(
+                "GridEncodingConfig.mid_table_size (two-tier capacity) is "
+                f"only implemented for mode='cell'; got mode={self.mode!r}"
+            )
         if self.mode == "cell" and self.features_per_level != 2:
             raise ValueError(
                 "cell mode packs 8 corners x F=2 features into 16-lane rows; "

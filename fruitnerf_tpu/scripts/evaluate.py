@@ -31,7 +31,7 @@ def add_args(p: argparse.ArgumentParser):
 def main(args):
     import jax
 
-    from ..configs import get_preset
+    from ..configs import apply_overrides, get_preset
     from ..engine.checkpoints import read_manifest, resume_from_latest
     from ..engine.trainer import evaluate_all, init_train_state
 
@@ -44,6 +44,8 @@ def main(args):
         if preset == "fruit_nerf_smoke"
         else get_preset(preset, num_images=num_images, variant=variant)
     )
+    # rebuild the exact training config (overrides change param shapes)
+    config = apply_overrides(config, manifest.get("config_overrides", {}))
     template = init_train_state(jax.random.PRNGKey(0), config, num_images)
     state, ok = resume_from_latest(run_dir / "checkpoints", template)
     if not ok:

@@ -49,7 +49,7 @@ def add_args(p: argparse.ArgumentParser):
 def main(args):
     import jax
 
-    from ..configs import get_preset
+    from ..configs import apply_overrides, get_preset
     from ..engine.checkpoints import read_manifest, resume_from_latest
     from ..engine.trainer import init_train_state
     from ..export.volume_sampler import ExportConfig, sample_volume
@@ -63,6 +63,10 @@ def main(args):
         config = get_preset(preset, num_images=num_images)
     else:
         config = get_preset(preset, num_images=num_images, variant=variant)
+    # a run trained with config overrides (e.g. mid_table_size) has different
+    # param shapes than the bare preset; rebuild the exact training config
+    # (the reference reloads the run's config.yaml the same way, exporter.py:86)
+    config = apply_overrides(config, manifest.get("config_overrides", {}))
 
     template = init_train_state(jax.random.PRNGKey(0), config, num_images)
     state, resumed = resume_from_latest(run_dir / "checkpoints", template)

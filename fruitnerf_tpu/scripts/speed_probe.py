@@ -21,6 +21,12 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--output", default=None)
     p.add_argument("--chunk", type=int, default=25)
     p.add_argument("--reps", type=int, default=4)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="independent timing passes per recipe; median and "
+                        "min are reported (VERDICT r4: single-shot probes "
+                        "showed ~45%% run-to-run variance)")
+    p.add_argument("--only", default=None,
+                   help="comma-separated candidate names to probe")
 
 
 BASELINE_RAYS_PER_SEC = 30_000 * 4096 / (15 * 60)
@@ -67,38 +73,12 @@ def candidates():
     ]
 
 
-def apply_overrides(config, ov: dict):
-    grid_over = {}
-    if ov.get("table_size"):
-        grid_over["table_size"] = ov["table_size"]
-    if ov.get("grid_levels"):
-        grid_over["num_levels"] = ov["grid_levels"]
-    if ov.get("mid_table_size"):
-        grid_over["mid_table_size"] = ov["mid_table_size"]
-    if ov.get("fine_levels") is not None:
-        grid_over["fine_levels"] = ov["fine_levels"]
-    if grid_over:
-        field = dataclasses.replace(
-            config.model.field,
-            grid=dataclasses.replace(config.model.field.grid, **grid_over),
-        )
-        config = dataclasses.replace(
-            config, model=dataclasses.replace(config.model, field=field)
-        )
-    if ov.get("nerf_samples"):
-        config = dataclasses.replace(
-            config,
-            model=dataclasses.replace(
-                config.model, num_nerf_samples=ov["nerf_samples"]
-            ),
-        )
-    return config
-
-
 def main(args):
+    import statistics
+
     import jax
 
-    from ..configs import fruit_nerf
+    from ..configs import apply_overrides, fruit_nerf
     from ..data.builder import dataset_from_scene
     from ..data.synthetic import SyntheticSceneConfig, render_scene
     from ..engine.trainer import init_train_state, make_train_chunk
@@ -114,29 +94,48 @@ def main(args):
     data = dataset_from_scene(scene)
     key = jax.random.key(0, impl="rbg")
 
+    cands = candidates()
+    if args.only:
+        want = set(args.only.split(","))
+        cands = [(n, ov) for n, ov in cands if n in want]
+
     rows = []
-    for name, ov in candidates():
+    for i, (name, ov) in enumerate(cands):
         config = fruit_nerf(
             num_images=data.cameras.num_cameras, variant="grid"
         )
         config = dataclasses.replace(config, train_rays_per_batch=4096)
         config = apply_overrides(config, ov)
+        rays_per_step = config.train_rays_per_batch
         state = init_train_state(
             jax.random.PRNGKey(0), config, data.cameras.num_cameras
         )
         chunk_fn = make_train_chunk(config, length=args.chunk)
-        for _ in range(2):  # compile + warm
+        # first candidate warms the chip/runtime extra (VERDICT r4 weak #3:
+        # the first-measured row was the one that moved between probe runs)
+        warm = 4 if i == 0 else 2
+        for _ in range(warm):  # compile + warm
             state, _ = chunk_fn(state, data, key)
             float(jax.tree.leaves(state.params)[0].ravel()[0])
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            state, _ = chunk_fn(state, data, key)
-        float(jax.tree.leaves(state.params)[0].ravel()[0])
-        dt = (time.perf_counter() - t0) / (args.reps * args.chunk)
-        rays = 4096 / dt
+        # independent repeats -> median + min, not a single-shot number
+        per_step_ms = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                state, _ = chunk_fn(state, data, key)
+            float(jax.tree.leaves(state.params)[0].ravel()[0])
+            dt = (time.perf_counter() - t0) / (args.reps * args.chunk)
+            per_step_ms.append(dt * 1e3)
+        med = statistics.median(per_step_ms)
+        rays = rays_per_step / (med * 1e-3)
         row = {
-            "name": name, "overrides": ov, "ms_per_step": round(dt * 1e3, 3),
+            "name": name, "overrides": ov,
+            "ms_per_step": round(med, 3),
+            "ms_per_step_min": round(min(per_step_ms), 3),
+            "ms_per_step_all": [round(v, 3) for v in per_step_ms],
             "rays_per_sec": round(rays, 1),
+            "rays_per_sec_max": round(
+                rays_per_step / (min(per_step_ms) * 1e-3), 1),
             "vs_baseline": round(rays / BASELINE_RAYS_PER_SEC, 3),
         }
         rows.append(row)

@@ -138,7 +138,7 @@ class ViewerSession:
     def from_run_dir(cls, run_dir, use_mesh=False):
         import jax
 
-        from ..configs import get_preset
+        from ..configs import apply_overrides, get_preset
         from ..engine.checkpoints import read_manifest, resume_from_latest
         from ..engine.trainer import init_train_state
 
@@ -150,6 +150,8 @@ class ViewerSession:
                   if preset == "fruit_nerf_smoke"
                   else get_preset(preset, num_images=num_images,
                                   variant=variant))
+        # rebuild the exact training config (overrides change param shapes)
+        config = apply_overrides(config, manifest.get("config_overrides", {}))
         template = init_train_state(
             jax.random.PRNGKey(0), config, num_images)
         from pathlib import Path

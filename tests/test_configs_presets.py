@@ -62,3 +62,77 @@ def test_big_huge_grid_forward_step(preset):
     )
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert out["semantics"].shape == (n, 1)
+
+
+def test_apply_overrides_nested_and_unknown():
+    import dataclasses
+
+    import pytest
+
+    from fruitnerf_tpu.configs import apply_overrides, get_preset
+
+    config = get_preset("fruit_nerf", num_images=10, variant="grid")
+    out = apply_overrides(config, {
+        "mid_table_size": 4096, "fine_levels": 4, "nerf_samples": 40,
+        "train_rays_per_batch": 2048, "camera_opt": False,
+        "sparsity_loss": 0.0,  # explicit zero must be applied, not dropped
+        "density_bias": 0.0,
+    })
+    assert out.model.field.grid.mid_table_size == 4096
+    assert out.model.field.grid.fine_levels == 4
+    assert out.model.num_nerf_samples == 40
+    assert out.train_rays_per_batch == 2048
+    assert out.use_camera_opt is False
+    assert out.model.density_sparsity_mult == 0.0
+    assert out.model.field.density_bias == 0.0  # preset default is -3
+    # untouched fields preserved
+    assert out.model.field.grid.table_size == config.model.field.grid.table_size
+    # None values are no-ops
+    assert apply_overrides(config, {"table_size": None}) == config
+    with pytest.raises(KeyError):
+        apply_overrides(config, {"tabel_size": 4096})
+
+
+def test_manifest_override_roundtrip(tmp_path):
+    """A run trained with grid overrides must rebuild the EXACT config from
+    its manifest at export/eval time (param shapes differ from the preset;
+    the reference gets this from the run's config.yaml, exporter.py:86)."""
+    import argparse
+
+    from fruitnerf_tpu.configs import apply_overrides, get_preset
+    from fruitnerf_tpu.engine.checkpoints import read_manifest
+    from fruitnerf_tpu.scripts import orchard_e2e
+
+    p = argparse.ArgumentParser()
+    orchard_e2e.add_args(p)
+    args = p.parse_args([
+        "--num-fruits", "3", "--num-cameras", "4", "--image-size", "32",
+        "--iters", "4", "--variant", "grid", "--export-n", "16",
+        "--train-rays-per-batch", "128", "--nerf-samples", "8",
+        "--table-size", "512", "--mid-table-size", "256", "--fine-levels", "2",
+        "--output-dir", str(tmp_path),
+    ])
+    orchard_e2e.main(args)
+    manifest = read_manifest(tmp_path)
+    ov = manifest["config_overrides"]
+    assert ov["table_size"] == 512 and ov["mid_table_size"] == 256
+    rebuilt = apply_overrides(
+        get_preset(manifest["preset"], num_images=manifest["num_images"],
+                   variant=manifest["variant"]),
+        ov,
+    )
+    assert rebuilt.model.field.grid.table_size == 512
+    assert rebuilt.model.field.grid.mid_table_size == 256
+    assert rebuilt.model.field.grid.fine_levels == 2
+    assert rebuilt.model.num_nerf_samples == 8
+
+
+def test_tiered_capacity_rejected_in_corner_mode():
+    import dataclasses
+
+    import pytest
+
+    from fruitnerf_tpu.fields.encodings import GridEncodingConfig
+
+    with pytest.raises(ValueError, match="cell"):
+        GridEncodingConfig(mid_table_size=4096, mode="corner")

@@ -273,3 +273,34 @@ def test_profile_matrix_complete():
     assert REAL_PROFILES["fuji_unet"].remove_outliers_radius == 0.025
     for prof in {**SYNTHETIC_PROFILES, **REAL_PROFILES}.values():
         assert prof.gt_count and prof.down_sample == 0.001
+
+
+def test_split_volume_gate_blocks_split_branch():
+    """A single complete fruit shell has hull volume ~= 1 template volume
+    (the convex-hull surrogate over-reads the reference's alphashape(10),
+    clustering_base.py:372), so a raised gate must keep it out of the split
+    branch while a bridged pair still enters (round-5 calibration knob)."""
+    single = make_fruit_cloud([[0, 0, 0]], radius=0.05, n_per=800)
+    prof = _profile(split_volume_gate=1.6)
+    res = FruitClustering(prof, template_points=prof.template).count(single)
+    assert res.count == 1 and res.additional == 0
+    # touching pair still split at the same gate
+    pair = make_fruit_cloud(
+        [[0, 0, 0], [0.085, 0, 0]], radius=0.05, n_per=800, seed=2
+    )
+    prof2 = _profile(eps=0.03, split_volume_gate=1.6)
+    res2 = FruitClustering(prof2, template_points=prof2.template).count(pair)
+    assert res2.first_stage == 1 and res2.count == 2, res2
+
+
+def test_split_k_penalty_suppresses_flat_tail():
+    """With a huge penalty the split branch must choose k=1 even for a pair;
+    with zero penalty it reproduces the reference argmin (k=2)."""
+    pair = make_fruit_cloud(
+        [[0, 0, 0], [0.085, 0, 0]], radius=0.05, n_per=800, seed=2
+    )
+    loose = _profile(eps=0.03, split_k_penalty=0.0)
+    assert FruitClustering(loose, template_points=loose.template).count(pair).count == 2
+    harsh = _profile(eps=0.03, split_k_penalty=10.0)
+    res = FruitClustering(harsh, template_points=harsh.template).count(pair)
+    assert res.count == 1 and res.additional == 0
