@@ -535,21 +535,21 @@ def train_loop(
     chunk_fns: dict[int, Any] = {}
 
     def advance(state, n):
-        first = n not in chunk_fns
-        if first:
-            chunk_fns[n] = (
+        if n not in chunk_fns:
+            fn = (
                 make_train_step(config, mesh) if n == 1
                 else make_train_chunk(config, mesh, length=n)
             )
-        if first:
-            # first dispatch of a chunk shape = compile (30-120 s cold
-            # through the remote tunnel; ~1 s from the persistent cache).
-            # Timed separately so train_s reflects the steady-state rate.
+            # AOT-compile each chunk shape (30-120 s cold through the remote
+            # tunnel; ~1 s from the persistent cache) so compile_s holds ONLY
+            # compilation and every dispatch — including the first — counts
+            # toward train_s. (Booking the whole first dispatch as compile
+            # excluded a chunk of real training per shape and overstated the
+            # steady-state rate, ADVICE r4 #2.) The Compiled object is kept:
+            # re-calling the jit wrapper would not reuse this compilation.
             t0 = _time.perf_counter()
-            out = chunk_fns[n](state, data, key)
-            jax.block_until_ready(out[0].step)
+            chunk_fns[n] = fn.lower(state, data, key).compile()
             timings["compile_s"] += _time.perf_counter() - t0
-            return out
         return chunk_fns[n](state, data, key)
 
     # preemption safety: SIGTERM/SIGINT set a flag; the loop checkpoints at
