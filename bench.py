@@ -82,7 +82,9 @@ def bench_pipeline_count():
     # under-detected ~8% (FN-limited, VERDICT r4 weak #1) — the full 30k
     # preset schedule recovers the missing recall (the one-time train cost
     # is cached across bench invocations).
-    tag = "v6_120f200c256px_30k"  # bump to invalidate the cache
+    # v7: the preset's grid default became the two-tier mid4096f4 recipe
+    # (configs.py fruit_nerf) — param shapes changed, old caches can't restore
+    tag = "v7_120f200c256px_30k"  # bump to invalidate the cache
     out = Path(__file__).resolve().parent / ".bench_cache" / tag
     report_path = out / "orchard_report.json"
     was_cached = report_path.exists()

@@ -116,7 +116,16 @@ def fruit_nerf(
             mode="cell" if variant == "tpu" else "corner",
         ),
         grid=GridEncodingConfig(
-            num_levels=16, table_size=8192, base_res=16, max_res=2048
+            num_levels=16, table_size=8192, base_res=16, max_res=2048,
+            # Two-tier flagship recipe (round-5 north star): cap the 12
+            # coarser hashed levels at 4096 rows, keep 8192 on the 4 finest.
+            # vs the uniform-8192 round-4 default on the 283-apple/30k
+            # benchmark: 1.295x vs 1.119x step throughput AND +0.37 dB
+            # (28.13 vs 27.76 PSNR), count 284/283 (F1 0.970) — strictly
+            # better on every axis (reports/round5/headline283_mid4096f4_30k;
+            # kernel cost is linear in sum(T_l), so shifting rows to the
+            # collision-sensitive fine levels buys quality AND speed).
+            mid_table_size=4096, fine_levels=4,
         ),
         encoding=_encoding_for(variant),
         pos_frequencies=12,

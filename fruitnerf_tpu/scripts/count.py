@@ -63,11 +63,43 @@ def main(args):
     if args.gt_cluster is not None:
         profile = dataclasses.replace(profile, gt_cluster=args.gt_cluster)
 
+    cloud = _with_semantic_fallback(args.cloud)
     if args.sweep:
-        run_sweep(profile, args.cloud, output_path=args.output)
+        run_sweep(profile, cloud, output_path=args.output)
         return
     results = run_profiles(
-        {profile.name: profile}, clouds={profile.name: args.cloud},
+        {profile.name: profile}, clouds={profile.name: cloud},
         output_path=args.output,
     )
     print(json.dumps(results, indent=2))
+
+
+def _with_semantic_fallback(cloud_path: str) -> str:
+    """Fall back from an empty/missing semantic_colormap.ply to the sibling
+    semantic.ply (logit>=3 cloud).
+
+    The colormap cloud needs the sigmoid head to reach >=0.9 — on short runs
+    (e.g. the quick-start's 2000-iter smoke demo) or tiny scenes the head may
+    not be that saturated yet while the logit>=3 semantic cloud already is
+    (same guard the multi-scene campaign applies; threshold semantics per
+    reference exporter_utils.py:106-114)."""
+    from pathlib import Path
+
+    from ..export.ply import read_ply
+
+    p = Path(cloud_path)
+    empty = not p.exists()
+    if not empty:
+        try:
+            empty = len(read_ply(p)["points"]) == 0
+        except Exception:
+            empty = False  # unreadable: let the counter raise its own error
+    sibling = p.with_name("semantic.ply")
+    if empty and p.name == "semantic_colormap.ply" and sibling.exists():
+        print(
+            f"[count] {p.name} is empty (semantics not yet colormap-"
+            f"saturated at this training length); falling back to {sibling}",
+            flush=True,
+        )
+        return str(sibling)
+    return cloud_path

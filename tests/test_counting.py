@@ -304,3 +304,28 @@ def test_split_k_penalty_suppresses_flat_tail():
     harsh = _profile(eps=0.03, split_k_penalty=10.0)
     res = FruitClustering(harsh, template_points=harsh.template).count(pair)
     assert res.count == 1 and res.additional == 0
+
+
+def test_count_cli_semantic_fallback(tmp_path):
+    """count CLI: an empty semantic_colormap.ply falls back to the sibling
+    semantic.ply (short runs leave the sigmoid head below the colormap
+    threshold while the logit>=3 cloud is already populated); a non-empty
+    colormap cloud is used as-is."""
+    import numpy as np
+
+    from fruitnerf_tpu.export.ply import write_ply
+    from fruitnerf_tpu.scripts.count import _with_semantic_fallback
+
+    cm = tmp_path / "semantic_colormap.ply"
+    sib = tmp_path / "semantic.ply"
+    write_ply(cm, np.zeros((0, 3), np.float32))
+    write_ply(sib, np.ones((5, 3), np.float32))
+    assert _with_semantic_fallback(str(cm)) == str(sib)
+
+    write_ply(cm, np.ones((4, 3), np.float32))
+    assert _with_semantic_fallback(str(cm)) == str(cm)
+
+    # missing colormap file also falls back; other names never do
+    cm.unlink()
+    assert _with_semantic_fallback(str(cm)) == str(sib)
+    assert _with_semantic_fallback(str(sib)) == str(sib)
