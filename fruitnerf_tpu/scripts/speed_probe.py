@@ -40,7 +40,13 @@ def candidates():
     (or grow) their tables cuts the encode without touching the detail
     levels (GridEncodingConfig.mid_table_size)."""
     return [
-        ("default_L16_T8192_s48", {}),
+        # the preset default is now the two-tier mid4096f4 recipe (round-5
+        # flagship promotion, configs.fruit_nerf)
+        ("default_mid4096f4", {}),
+        # round-4's uniform-8192 default, expressed under the tiered preset:
+        # fine_levels=16 puts table_size on every level (cut=0), which the
+        # layout collapses back to the uniform case
+        ("uniform_T8192", {"fine_levels": 16}),
         ("L14", {"grid_levels": 14}),
         ("L12", {"grid_levels": 12}),
         ("T4096", {"table_size": 4096}),
