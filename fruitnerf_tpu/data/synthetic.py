@@ -35,11 +35,22 @@ class SyntheticSceneConfig:
     # reference's Blender trees keep fruit visible enough for mask-driven
     # counting (config_synthetic.py GT counts with F1 ~0.9).
     fruit_shell_fraction: float = 0.0
+    # (lo, hi) camera elevation range in radians. The default upper-ring rig
+    # never views the crown from below; the reference's captures circle the
+    # tree at fruit height and below (README.md capture protocol), so this
+    # knob lets dense-scene runs widen to ~(-0.2, 0.8). Round-5 analytic
+    # visibility probe on plum-781: fruits with <3 occluder-free center views
+    # drop 137 -> 108 when widened — a modest gain, because the dominant FN
+    # cause is fruits whose center sits INSIDE a leaf sphere (107/781 at plum
+    # density; no rig can see those centers, only their protruding crescent).
+    # Kept at the historic default so every committed scene cache / report
+    # stays bit-identical unless explicitly overridden.
+    camera_elevation: tuple = (0.25, 0.80)
 
 
 def orchard_config(
     num_fruits: int = 283, num_cameras: int = 120, image_size: int = 512,
-    seed: int = 7,
+    seed: int = 7, camera_elevation: tuple | None = None,
 ) -> SyntheticSceneConfig:
     """Reference-scale scene: the apple-orchard shape of the reference's
     synthetic evaluation (283 fruits from ~300 cams at 1024^2,
@@ -63,6 +74,9 @@ def orchard_config(
     num_leaves = max(
         200, min(num_fruits, round(leaf_budget / (1.3 * radius) ** 2))
     )
+    kw = {}
+    if camera_elevation is not None:
+        kw["camera_elevation"] = tuple(float(e) for e in camera_elevation)
     return SyntheticSceneConfig(
         num_fruits=num_fruits,
         fruit_radius=float(radius),
@@ -72,6 +86,7 @@ def orchard_config(
         leaf_radius=float(radius * 1.3),
         fruit_shell_fraction=0.62,
         seed=seed,
+        **kw,
     )
 
 
@@ -116,9 +131,10 @@ def hemisphere_poses(config: SyntheticSceneConfig) -> np.ndarray:
     """[N, 3, 4] cameras on an upper hemisphere looking at the origin."""
     n = config.num_cameras
     golden = np.pi * (3.0 - np.sqrt(5.0))
+    lo, hi = config.camera_elevation
     poses = []
     for i in range(n):
-        elev = 0.25 + 0.55 * (i / max(n - 1, 1))  # elevation fraction
+        elev = lo + (hi - lo) * (i / max(n - 1, 1))  # elevation sweep (rad)
         az = golden * i
         eye = config.camera_distance * np.array(
             [np.cos(az) * np.cos(elev), np.sin(az) * np.cos(elev), np.sin(elev)]
@@ -318,8 +334,13 @@ def cached_render_scene(config: SyntheticSceneConfig, cache_dir=None):
     if cache_dir is None:
         cache_dir = Path(__file__).resolve().parents[2] / ".scene_cache"
     cache_dir = Path(cache_dir)
+    cfg_items = dataclasses.asdict(config)
+    # Back-compat: fields added after round 4 are dropped from the key when
+    # at their default, so every previously cached scene keeps its key.
+    if cfg_items.get("camera_elevation") == (0.25, 0.80):
+        cfg_items.pop("camera_elevation")
     key = hashlib.sha1(
-        repr(sorted(dataclasses.asdict(config).items())).encode()
+        repr(sorted(cfg_items.items())).encode()
     ).hexdigest()[:16]
     path = cache_dir / f"scene_v2_{key}.npz"  # v2: HIGHEST-precision tracer
     if path.exists():

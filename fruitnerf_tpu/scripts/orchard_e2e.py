@@ -78,6 +78,13 @@ def add_args(p: argparse.ArgumentParser):
                         "before geometry forms)")
     p.add_argument("--no-jitter", action="store_true",
                    help="disable sub-pixel ray jitter (A/B isolation)")
+    p.add_argument("--camera-elevation", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="camera elevation sweep in radians (default keeps the "
+                        "historic (0.25, 0.80) upper ring; ~(-0.2, 0.8) adds "
+                        "below-horizon views of the low crown, mirroring the "
+                        "reference's capture protocol of circling the tree "
+                        "at fruit height)")
 
 
 def cli_overrides(args) -> dict:
@@ -185,6 +192,7 @@ def main(args):
     cfg_scene = orchard_config(
         num_fruits=args.num_fruits, num_cameras=args.num_cameras,
         image_size=args.image_size, seed=args.seed,
+        camera_elevation=args.camera_elevation,
     )
     scene = cached_render_scene(cfg_scene)
     report["render_scene_s"] = round(time.time() - t0, 1)
